@@ -1,0 +1,106 @@
+"""Time-step driver (layer L3).
+
+The reference's per-step pipeline (2dvof.py:505-528) launches 14+ Taichi
+kernels with a host round-trip between each; here the whole step is one
+traced function — XLA fuses the pointwise work into the stencil passes — and
+`simulate` wraps it in `lax.scan` so an entire run is a single device
+program with zero host synchronization except frame/metric dumps.
+
+Step order (identical to the reference):
+  mix rho/nu -> Youngs normals+curvature -> momentum predictor -> BC ->
+  n_jacobi Jacobi sweeps -> velocity correction -> BC -> Rudman FCT double
+  sweep (parity-alternated order) -> clamp F -> BC.
+
+Sweep-order parity matches the main solver: the reference increments istep
+*before* the step body (2dvof.py:505-506), so the first step runs the odd
+branch (x then y). The differentiable driver in diff.py uses the diff
+reference's 0-based parity (first step even: y then x; diff_vof.py:345-351).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import SimConfig
+from .state import State
+from .ops import (
+    apply_bc,
+    clamp01,
+    mix_properties,
+    predict_velocity,
+    rudman_advect,
+    solve_pressure,
+    update_velocity,
+    young_normals_curvature,
+)
+
+__all__ = ["step", "step_pair", "simulate", "make_step_fn"]
+
+
+def step(cfg: SimConfig, state: State, even_step: bool) -> State:
+    """One full time step. ``even_step`` is a Python bool: the sweep order is
+    a compile-time schedule (two specializations exist inside the scanned
+    pair; there is no data-dependent branching)."""
+    g, fl, nm = cfg.grid, cfg.fluid, cfg.num
+    F, u, v, p = state
+
+    rho, nu = mix_properties(fl, F)
+    _, _, kappa = young_normals_curvature(g, F)
+
+    u_star, v_star = predict_velocity(g, fl, nm, u, v, F, rho, nu, kappa)
+    # The reference re-applies wall BCs here (2dvof.py:518); for parity we do
+    # too (it only matters on the very first step after initialization).
+    u, v, F, p, rho = apply_bc(u, v, F, p, rho)
+
+    p = solve_pressure(g, nm, p, u_star, v_star, rho)
+
+    u, v = update_velocity(g, nm, u, v, u_star, v_star, p, rho)
+    u, v, F, p, rho = apply_bc(u, v, F, p, rho)
+
+    F = rudman_advect(g, nm, F, u, v, even_step)
+    F = clamp01(F)  # post_process_f (2dvof.py:452-455)
+    u, v, F, p, _ = apply_bc(u, v, F, p, rho)
+
+    return State(F=F, u=u, v=v, p=p)
+
+
+def step_pair(cfg: SimConfig, state: State) -> State:
+    """Two consecutive steps (odd-parity then even-parity), mirroring the
+    reference schedule istep = 1, 2, ... Both sweep orders are statically
+    compiled — no `lax.cond` in the hot loop."""
+    state = step(cfg, state, even_step=False)  # istep odd: x then y
+    state = step(cfg, state, even_step=True)  # istep even: y then x
+    return state
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def simulate(cfg: SimConfig, state: State, n_steps: int) -> State:
+    """Advance n_steps with a scanned pair body (one compiled program)."""
+    n_pairs, rem = divmod(n_steps, 2)
+
+    def body(s, _):
+        return step_pair(cfg, s), None
+
+    state, _ = jax.lax.scan(body, state, None, length=n_pairs)
+    if rem:
+        state = step(cfg, state, even_step=False)
+    return state
+
+
+def make_step_fn(cfg: SimConfig):
+    """A jitted single-step function with traced parity (used by interactive
+    drivers that step one at a time)."""
+
+    @partial(jax.jit, static_argnums=())
+    def fn(state: State, istep: jnp.ndarray) -> State:
+        return jax.lax.cond(
+            istep % 2 == 0,
+            lambda s: step(cfg, s, even_step=True),
+            lambda s: step(cfg, s, even_step=False),
+            state,
+        )
+
+    return fn
