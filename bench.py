@@ -1,0 +1,73 @@
+"""Benchmark harness: cell-updates/second at 512^2, 1000-step dam break.
+
+Prints ONE JSON line:
+  {"metric": "cell_updates_per_sec_512", "value": ..., "unit": "cells*steps/s",
+   "vs_baseline": ...}
+
+The reference publishes no numbers (BASELINE.md); the baseline constant below
+is the measured wall-clock of this framework's own XLA:CPU execution of the
+identical 512^2 workload on this machine — the stand-in for the Taichi-CPU
+reference (which is not installable here), recorded in BASELINE.md.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Measured on this machine (XLA:CPU, f32, 512^2 x 1000 steps) — see
+# BASELINE.md "measured" table. Units: cell-updates/second.
+BASELINE_CUPS = 0.0  # filled by scripts/measure_baseline.py; 0 -> remeasure
+
+
+def measure(simulate, cfg, state, n_steps: int) -> float:
+    """Wall-clock seconds for n_steps, forcing host materialization (the
+    axon tunnel's block_until_ready can return early)."""
+    t0 = time.perf_counter()
+    out = simulate(cfg, state, n_steps)
+    np.asarray(out.F)
+    return time.perf_counter() - t0, out
+
+
+def main():
+    import tpuvof as tv
+
+    n = 512
+    n_steps = 1000
+    cfg = tv.dam_break_2d(n)
+    state = tv.init_state(cfg, ic=1)
+
+    # warmup / compile
+    _, state_w = measure(tv.simulate, cfg, state, n_steps)
+
+    times = []
+    s = state_w
+    for _ in range(3):
+        dt, s = measure(tv.simulate, cfg, s, n_steps)
+        times.append(dt)
+    best = min(times)
+    cups = n * n * n_steps / best
+
+    baseline = BASELINE_CUPS
+    if not baseline:
+        try:
+            with open("BASELINE_MEASURED.json") as f:
+                baseline = json.load(f)["cell_updates_per_sec_512_cpu"]
+        except Exception:
+            baseline = float("nan")
+
+    print(
+        json.dumps(
+            {
+                "metric": "cell_updates_per_sec_512",
+                "value": round(cups, 1),
+                "unit": "cells*steps/s",
+                "vs_baseline": round(cups / baseline, 3) if baseline == baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

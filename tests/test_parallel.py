@@ -1,0 +1,57 @@
+"""Distributed (shard_map) solver must reproduce the serial trajectory.
+
+Runs on the virtual 8-device CPU mesh (conftest). Decomposition shapes probe
+1-D and 2-D tilings and both odd/even step counts.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+import tpuvof as tv
+from tpuvof.parallel import Decomp
+
+
+def make_mesh(px, py):
+    devs = np.array(jax.devices()[: px * py]).reshape(px, py)
+    return Mesh(devs, ("mx", "my"))
+
+
+@pytest.mark.parametrize("px,py,n_steps", [(2, 4, 9), (4, 2, 8), (1, 8, 5), (8, 1, 4), (2, 2, 6)])
+def test_dist_matches_serial(px, py, n_steps):
+    cfg = tv.SimConfig(grid=tv.Grid2D(16, 16))
+    state = tv.init_state(cfg, ic=1)
+    # run in float64 so any halo/masking bug shows above rounding noise
+    state = tv.State(*(a.astype(jnp.float64) for a in state))
+
+    serial = tv.simulate(cfg, state, n_steps)
+
+    dec = Decomp(cfg, make_mesh(px, py))
+    dist = dec.simulate(state, n_steps)
+
+    np.testing.assert_allclose(np.asarray(dist.F)[1:-1, 1:-1],
+                               np.asarray(serial.F)[1:-1, 1:-1], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(dist.u)[1:-1, 1:-1],
+                               np.asarray(serial.u)[1:-1, 1:-1], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(dist.v)[1:-1, 1:-1],
+                               np.asarray(serial.v)[1:-1, 1:-1], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(dist.p)[1:-1, 1:-1],
+                               np.asarray(serial.p)[1:-1, 1:-1], atol=1e-7)
+
+
+@pytest.mark.parametrize("ic", [2, 3])
+def test_dist_other_ics(ic):
+    cfg = tv.SimConfig(grid=tv.Grid2D(16, 16))
+    state = tv.init_state(cfg, ic=ic)
+    state = tv.State(*(a.astype(jnp.float64) for a in state))
+    serial = tv.simulate(cfg, state, 6)
+    dist = Decomp(cfg, make_mesh(2, 4)).simulate(state, 6)
+    np.testing.assert_allclose(np.asarray(dist.F)[1:-1, 1:-1],
+                               np.asarray(serial.F)[1:-1, 1:-1], atol=1e-12)
+
+
+def test_indivisible_grid_rejected():
+    cfg = tv.SimConfig(grid=tv.Grid2D(18, 18))
+    with pytest.raises(ValueError, match="not divisible"):
+        Decomp(cfg, make_mesh(2, 4))

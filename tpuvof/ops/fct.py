@@ -43,11 +43,14 @@ def _min3(a, b, c):
     return jnp.minimum(a, jnp.minimum(b, c))
 
 
-def _sweep_axis0(dx: float, dy: float, dt: float, var: FCTVariant, F, u):
+def _sweep_axis0(dx: float, dy: float, dt: float, var: FCTVariant, F, u, sync=None):
     """One FCT sweep along axis 0 of (n0+2, n1+2) arrays.
 
     ``u`` is the face-normal velocity: u[i, j] lives on the lower axis-0 face
     of cell (i, j). Returns the updated F (ghosts preserved).
+
+    ``sync`` (distributed mode) refreshes the ghost ring of an intermediate
+    from mesh neighbors; serial mode leaves the reference's zero ghosts.
     """
     # ---- face fluxes on faces f in [1, n0+1], j in [1, n1] ----
     uf = u[1:, 1:-1]
@@ -70,6 +73,9 @@ def _sweep_axis0(dx: float, dy: float, dt: float, var: FCTVariant, F, u):
     if var.clamp:
         ftd_int = jnp.clip(ftd_int, 0.0, 1.0)
     Ftd = jnp.zeros_like(F).at[1:-1, 1:-1].set(ftd_int)
+    if sync is not None:
+        Ftd = sync(Ftd)
+        ftd_int = Ftd[1:-1, 1:-1]
 
     # ---- pass 2: Zalesak limiter ratios (reads Ftd's zero ghosts at the
     # domain edge, exactly like the reference) ----
@@ -90,17 +96,26 @@ def _sweep_axis0(dx: float, dy: float, dt: float, var: FCTVariant, F, u):
 
     rp = jnp.zeros_like(F).at[1:-1, 1:-1].set(rp_int)
     rm = jnp.zeros_like(F).at[1:-1, 1:-1].set(rm_int)
+    if sync is not None:
+        rp = sync(rp)
+        rm = sync(rm)
 
-    # ---- pass 3: corrected flux factor on faces f in [2, n0+1]; the lowest
-    # face keeps c = 0 (never written by the reference, and its a is 0 at a
-    # wall anyway) ----
-    a_f = a[2:, 1:-1]
+    # ---- pass 3: corrected flux factor per face: c[f] = min(rp[f], rm[f-1])
+    # or min(rp[f-1], rm[f]) by flux sign. Computed on all faces [1, n0+1];
+    # the reference leaves the wall face at its zero-initialized c
+    # (2dvof.py:365-374 writes only cx[i+1]), but that face's a is exactly 0
+    # there (u=0 wall BC), so a*c is identical — and in the distributed case
+    # face 1 of a non-edge shard is a live interior face needing the real
+    # value from the neighbor's rp/rm (in its ghost ring).
+    a_f = a[1:, 1:-1]
+    rp_pad = rp[:-1, 1:-1]  # rp at cell f-1 (zero ghost below the wall)
+    rm_pad = rm[:-1, 1:-1]
     c_int = jnp.where(
         a_f >= 0,
-        jnp.minimum(rp[2:, 1:-1], rm[1:-1, 1:-1]),
-        jnp.minimum(rp[1:-1, 1:-1], rm[2:, 1:-1]),
+        jnp.minimum(rp[1:, 1:-1], rm_pad),
+        jnp.minimum(rp_pad, rm[1:, 1:-1]),
     )
-    c = jnp.zeros_like(F).at[2:, 1:-1].set(c_int)
+    c = jnp.zeros_like(F).at[1:, 1:-1].set(c_int)
 
     # ---- pass 4: apply limited anti-diffusion ----
     corr = (a[2:, 1:-1] * c[2:, 1:-1] - a[1:-1, 1:-1] * c[1:-1, 1:-1]) / dy
@@ -110,16 +125,17 @@ def _sweep_axis0(dx: float, dy: float, dt: float, var: FCTVariant, F, u):
     return F.at[1:-1, 1:-1].set(f_new)
 
 
-def fct_sweep_x(g: Grid2D, nm: Numerics, F, u, var: FCTVariant | None = None):
+def fct_sweep_x(g: Grid2D, nm: Numerics, F, u, var: FCTVariant | None = None, sync=None):
     var = nm.fct if var is None else var
-    return _sweep_axis0(g.dx, g.dy, nm.dt, var, F, u)
+    return _sweep_axis0(g.dx, g.dy, nm.dt, var, F, u, sync=sync)
 
 
-def fct_sweep_y(g: Grid2D, nm: Numerics, F, v, var: FCTVariant | None = None):
+def fct_sweep_y(g: Grid2D, nm: Numerics, F, v, var: FCTVariant | None = None, sync=None):
     var = nm.fct if var is None else var
     # Square cells make the y-sweep the exact transpose of the x-sweep,
     # including the reference's dx-scaled limiter numerators (2dvof.py:417).
-    return _sweep_axis0(g.dy, g.dx, nm.dt, var, F.T, v.T).T
+    sync_t = None if sync is None else (lambda a: sync(a.T).T)
+    return _sweep_axis0(g.dy, g.dx, nm.dt, var, F.T, v.T, sync=sync_t).T
 
 
 def _mirror_F(F):

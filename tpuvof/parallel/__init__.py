@@ -1,0 +1,12 @@
+"""Scale-out layer: device meshes, halo exchange, distributed stepping.
+
+The reference is single-device (SURVEY.md §2: no parallelism strategies, no
+communication backend). This package is the idiomatic TPU counterpart:
+spatial domain decomposition over a `jax.sharding.Mesh` with `shard_map`,
+ghost cells filled by `ppermute` halo exchanges riding ICI.
+"""
+from .halo import HaloSpec, exchange
+from .dist import Decomp
+from .mesh import make_mesh
+
+__all__ = ["HaloSpec", "exchange", "Decomp", "make_mesh"]
