@@ -294,14 +294,20 @@ class RefSolver2D:
             donor = self.F[i, j - 1] if v >= 0 else self.F[i, j]
         return v * self.dt * donor
 
-    def fct_x_sweep(self):
+    def fct_x_sweep(self, full_dv=True, clamp=True, guard_eps=0.0, denom_eps=0.0):
+        """Variant knobs per SURVEY.md §2.5.2-3: full_dv/clamp = main solver
+        (2dvof.py:329-331,382); flux-only + eps'd limiter = diff/test
+        variants (diff_vof.py:360,373; test/forward_fct.py:273,287)."""
         dx, dy, dt = self.dx, self.dy, self.dt
         for i, j in self.interior():
             dv = dx * dy - dt * dy * (self.u[i + 1, j] - self.u[i, j])
             fl = self._xflux(i, j, False)
             fr = self._xflux(i + 1, j, False)
-            ftd = (self.F[i, j] + (fl - fr) * dy / (dx * dy)) * dx * dy / dv
-            if ftd > 1.0 or ftd < 0.0:
+            if full_dv:
+                ftd = (self.F[i, j] + (fl - fr) * dy / (dx * dy)) * dx * dy / dv
+            else:
+                ftd = self.F[i, j] + (fl - fr) * dy / (dx * dy) * dx * dy / dv
+            if clamp and (ftd > 1.0 or ftd < 0.0):
                 ftd = self.median(0.0, 1.0, ftd)
             self.Ftd[i, j] = ftd
         for i, j in self.interior():
@@ -312,10 +318,10 @@ class RefSolver2D:
             fmin = min(self.Ftd[i, j], self.Ftd[i - 1, j], self.Ftd[i + 1, j])
             pp = max(0.0, self.ax[i, j]) - min(0.0, self.ax[i + 1, j])
             qp = (fmax - self.Ftd[i, j]) * dx
-            self.rp[i, j] = min(1.0, qp / pp) if pp > 0 else 0.0
+            self.rp[i, j] = min(1.0, qp / (pp + denom_eps)) if pp > guard_eps else 0.0
             pm = max(0.0, self.ax[i + 1, j]) - min(0.0, self.ax[i, j])
             qm = (self.Ftd[i, j] - fmin) * dx
-            self.rm[i, j] = min(1.0, qm / pm) if pm > 0 else 0.0
+            self.rm[i, j] = min(1.0, qm / (pm + denom_eps)) if pm > guard_eps else 0.0
         for i, j in self.interior():
             if self.ax[i + 1, j] >= 0:
                 self.cx[i + 1, j] = min(self.rp[i + 1, j], self.rm[i, j])
@@ -327,16 +333,19 @@ class RefSolver2D:
                 (self.ax[i + 1, j] * self.cx[i + 1, j] - self.ax[i, j] * self.cx[i, j])
                 / dy
             ) * dx * dy / dv
-            self.F[i, j] = self.median(0.0, 1.0, f)
+            self.F[i, j] = self.median(0.0, 1.0, f) if clamp else f
 
-    def fct_y_sweep(self):
+    def fct_y_sweep(self, full_dv=True, clamp=True, guard_eps=0.0, denom_eps=0.0):
         dx, dy, dt = self.dx, self.dy, self.dt
         for i, j in self.interior():
             dv = dx * dy - dt * dx * (self.v[i, j + 1] - self.v[i, j])
             ft = self._yflux(i, j + 1, False)
             fb = self._yflux(i, j, False)
-            ftd = (self.F[i, j] + (fb - ft) * dy / (dx * dy)) * dx * dy / dv
-            if ftd > 1.0 or ftd < 0.0:
+            if full_dv:
+                ftd = (self.F[i, j] + (fb - ft) * dy / (dx * dy)) * dx * dy / dv
+            else:
+                ftd = self.F[i, j] + (fb - ft) * dy / (dx * dy) * dx * dy / dv
+            if clamp and (ftd > 1.0 or ftd < 0.0):
                 ftd = self.median(0.0, 1.0, ftd)
             self.Ftd[i, j] = ftd
         for i, j in self.interior():
@@ -347,10 +356,10 @@ class RefSolver2D:
             fmin = min(self.Ftd[i, j], self.Ftd[i, j - 1], self.Ftd[i, j + 1])
             pp = max(0.0, self.ay[i, j]) - min(0.0, self.ay[i, j + 1])
             qp = (fmax - self.Ftd[i, j]) * dx  # dx, not dy: reference quirk
-            self.rp[i, j] = min(1.0, qp / pp) if pp > 0 else 0.0
+            self.rp[i, j] = min(1.0, qp / (pp + denom_eps)) if pp > guard_eps else 0.0
             pm = max(0.0, self.ay[i, j + 1]) - min(0.0, self.ay[i, j])
             qm = (self.Ftd[i, j] - fmin) * dx
-            self.rm[i, j] = min(1.0, qm / pm) if pm > 0 else 0.0
+            self.rm[i, j] = min(1.0, qm / (pm + denom_eps)) if pm > guard_eps else 0.0
         for i, j in self.interior():
             if self.ay[i, j + 1] >= 0:
                 self.cy[i, j + 1] = min(self.rp[i, j + 1], self.rm[i, j])
@@ -362,15 +371,31 @@ class RefSolver2D:
                 (self.ay[i, j + 1] * self.cy[i, j + 1] - self.ay[i, j] * self.cy[i, j])
                 / dy
             ) * dx * dy / dv
-            self.F[i, j] = self.median(0.0, 1.0, f)
+            self.F[i, j] = self.median(0.0, 1.0, f) if clamp else f
 
-    def solve_VOF_rudman(self, istep):
+    def mirror_F(self):
+        """F-only ghost mirror (test/forward_fct.py:223-234)."""
+        for i in range(self.nx + 2):
+            self.F[i, 0] = self.F[i, 1]
+            self.F[i, self.jmax + 1] = self.F[i, self.jmax]
+        for j in range(self.ny + 2):
+            self.F[0, j] = self.F[1, j]
+            self.F[self.imax + 1, j] = self.F[self.imax, j]
+
+    def solve_VOF_rudman(self, istep, **variant):
+        bc_between = variant.pop("bc_between", False)
         if istep % 2 == 0:
-            self.fct_y_sweep()
-            self.fct_x_sweep()
+            self.fct_y_sweep(**variant)
+            if bc_between:
+                self.mirror_F()
+            self.fct_x_sweep(**variant)
         else:
-            self.fct_x_sweep()
-            self.fct_y_sweep()
+            self.fct_x_sweep(**variant)
+            if bc_between:
+                self.mirror_F()
+            self.fct_y_sweep(**variant)
+        if bc_between:
+            self.mirror_F()
 
     def post_process_f(self):
         for i in range(self.nx + 2):

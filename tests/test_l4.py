@@ -1,0 +1,134 @@
+"""Layer-4 subsystems: metrics, visualization, IO artifacts, CLI."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import tpuvof as tv
+from tpuvof.metrics import compute_metrics, banner, format_frame
+from tpuvof.viz import MODES, render_frame, scalar_view, interp_velocity, arrow_field
+from tpuvof.io_utils import (
+    save_frame_png,
+    save_contour_png,
+    save_checkpoint,
+    load_checkpoint,
+    write_vtk,
+)
+from tpuvof import cli
+
+
+@pytest.fixture(scope="module")
+def small_run():
+    cfg = tv.SimConfig(grid=tv.Grid2D(24, 24))
+    state = tv.simulate(cfg, tv.init_state(cfg, ic=1), 10)
+    return cfg, state
+
+
+def test_metrics(small_run):
+    cfg, state = small_run
+    m = compute_metrics(cfg, state)
+    assert bool(m.finite)
+    assert float(m.mass) > 0
+    assert 0 <= float(m.cfl_u) < 0.25
+    line = format_frame(10, cfg.num.dt, m, "vof")
+    assert "Number of steps:10" in line and "mass=" in line
+    assert "Grid resolution: 24 x 24" in banner(cfg)
+
+
+@pytest.mark.parametrize("mode", ["vof", "u", "v", "vnorm"])
+def test_render_frame(small_run, mode):
+    cfg, state = small_run
+    rgb = render_frame(cfg, state, mode)
+    assert rgb.shape == (48, 48, 3)
+    r = np.asarray(rgb)
+    assert np.isfinite(r).all() and r.min() >= 0.0 and r.max() <= 1.0
+    # vof mode must upsample 2x nearest-neighbor: 2x2 blocks are constant
+    buf = np.asarray(scalar_view(cfg, state, "vof"))
+    assert (buf[::2, ::2] == buf[1::2, 1::2]).all()
+
+
+def test_interp_velocity_and_arrows(small_run):
+    cfg, state = small_run
+    V = interp_velocity(cfg, state)
+    assert V.shape == (26, 26, 2)
+    # centered average of face velocities
+    u, v = np.asarray(state.u), np.asarray(state.v)
+    np.testing.assert_allclose(
+        np.asarray(V)[1:-1, 1:-1, 0], (u[1:-1, 1:-1] + u[2:, 1:-1]) / 2, atol=1e-12
+    )
+    begin, incre = arrow_field(np.asarray(V), arrow_spacing=4)
+    assert begin.shape == incre.shape and begin.shape[1] == 2
+
+
+def test_png_writers(small_run, tmp_path):
+    cfg, state = small_run
+    rgb = np.asarray(render_frame(cfg, state, "vof"))
+    p1 = tmp_path / "frame.png"
+    save_frame_png(str(p1), rgb)
+    assert p1.stat().st_size > 100
+    V = interp_velocity(cfg, state)
+    p2 = tmp_path / "arrows.png"
+    save_frame_png(str(p2), rgb, arrow_field(np.asarray(V)))
+    assert p2.stat().st_size > 100
+    p3 = tmp_path / "contour.png"
+    save_contour_png(str(p3), np.asarray(state.F), cfg.grid.Lx, cfg.grid.Ly)
+    assert p3.stat().st_size > 100
+
+
+def test_checkpoint_roundtrip(small_run, tmp_path):
+    cfg, state = small_run
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, cfg, state, istep=10)
+    state2, istep, cfg_echo = load_checkpoint(path)
+    assert istep == 10
+    assert cfg_echo["grid"]["nx"] == 24
+    for a, b in zip(state, state2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed simulation continues identically to an uninterrupted one
+    cont = tv.simulate(cfg, state2, 4)
+    uncut = tv.simulate(cfg, tv.init_state(cfg, ic=1), 14)
+    np.testing.assert_allclose(np.asarray(cont.F), np.asarray(uncut.F), atol=1e-12)
+
+
+def test_vtk_writer(tmp_path):
+    arr = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4)
+    path = write_vtk(str(tmp_path / "vol"), {"VOF": arr})
+    data = open(path, "rb").read()
+    assert b"STRUCTURED_POINTS" in data
+    assert b"DIMENSIONS 2 3 4" in data
+    assert b"SCALARS VOF float 1" in data
+    # x varies fastest: first two payload floats are arr[0,0,0], arr[1,0,0]
+    payload = data.split(b"LOOKUP_TABLE default\n", 1)[1]
+    vals = np.frombuffer(payload[: 4 * 2], dtype=">f4")
+    np.testing.assert_array_equal(vals, [arr[0, 0, 0], arr[1, 0, 0]])
+
+
+def test_cli_end_to_end(tmp_path):
+    """Drive the CLI in-process on a small grid: frames, metrics, checkpoint,
+    resume."""
+    out = str(tmp_path)
+    rc = cli.main(["-ic", "1", "--nx", "16", "--steps", "6", "--frame-every", "3",
+                   "-s", "--checkpoint-every", "6", "--outdir", out])
+    assert rc == 0
+    files = os.listdir(out)
+    assert any(f.endswith("-vof.png") for f in files)
+    assert any(f.endswith("-f.png") for f in files)
+    assert "ckpt_000006.npz" in files
+    rc = cli.main(["--resume", os.path.join(out, "ckpt_000006.npz"), "--nx", "16",
+                   "--steps", "3", "--frame-every", "3", "--outdir", out,
+                   "--view", "vectors"])
+    assert rc == 0
+    assert any("vectors" in f for f in os.listdir(out))
+
+
+def test_cli_rejects_mismatched_resume(tmp_path, small_run):
+    cfg, state = small_run
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, cfg, state, istep=10)
+    rc = cli.main(["--resume", path, "--nx", "64", "--steps", "2",
+                   "--outdir", str(tmp_path)])
+    assert rc == 2

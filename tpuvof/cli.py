@@ -1,0 +1,169 @@
+"""Command-line driver (layer L4).
+
+CLI parity with the reference (`-ic {1,2,3}` and `-s`, 2dvof.py:11-17) plus
+the knobs the reference hard-codes as module constants: grid size, step
+count, frame cadence, view mode, checkpointing. Headless by design: frames
+render fully on device and land as PNGs (the reference's interactive GUI
+window is replaced by the frame stream; the SPACE-cycled view modes map to
+--view / --cycle-views).
+
+Usage examples:
+  python -m tpuvof -ic 1 -s --steps 2000
+  python -m tpuvof -ic 2 --nx 256 --steps 10000 --frame-every 500 --view vnorm
+  python -m tpuvof --resume output/ckpt_001000.npz --steps 1000
+  python -m tpuvof --case single_vortex --steps 1000     (advection-only)
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tpuvof", description=__doc__)
+    # reference-parity flags (2dvof.py:11-17)
+    p.add_argument("-ic", type=int, choices=[1, 2, 3], default=1,
+                   help="initial condition: 1 dam break, 2 rising bubble, 3 liquid drop")
+    p.add_argument("-s", action="store_true", dest="save_fig",
+                   help="also save the reference-style contourf PNG per frame")
+    # grid / physics
+    p.add_argument("--nx", type=int, default=200)
+    p.add_argument("--ny", type=int, default=None, help="defaults to nx")
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--dt", type=float, default=4e-6)
+    p.add_argument("--jacobi", type=int, default=10, help="pressure iterations per step")
+    # output
+    p.add_argument("--frame-every", type=int, default=100, dest="frame_every",
+                   help="steps between frames (reference nstep, 2dvof.py:497)")
+    p.add_argument("--view", choices=["vof", "u", "v", "vnorm", "vectors"],
+                   default="vof")
+    p.add_argument("--cycle-views", action="store_true",
+                   help="advance the view mode every frame (like SPACE in the reference GUI)")
+    p.add_argument("--outdir", default="output")
+    p.add_argument("--no-frames", action="store_true", help="metrics only, no PNGs")
+    # checkpointing (superset of the reference)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", default=None, help="npz checkpoint to resume from")
+    # advection-only scheme cases (test/forward_fct.py equivalents)
+    p.add_argument("--case", default=None,
+                   choices=[None, "single_vortex", "zalesak_disk", "translation",
+                            "checkerboard"],
+                   help="run a pure-advection scheme case instead of the NS solver")
+    return p
+
+
+def run_advection(args) -> int:
+    import tpuvof.models as models
+    from .io_utils import save_contour_png
+
+    maker = models.ADVECTION_CASES[args.case]
+    case, F, u, v, target = maker()
+    n_steps = args.steps or case.n_steps
+    os.makedirs(args.outdir, exist_ok=True)
+    print(f">>> VOF scheme case {args.case}: grid {case.grid.nx} x {case.grid.ny}, "
+          f"dt = {case.dt:4.2e}, {n_steps} steps")
+    t0 = time.time()
+    chunk = max(1, args.frame_every)
+    done = 0
+    while done < n_steps:
+        n = min(chunk, n_steps - done)
+        F = models.simulate_advection(case, F, u, v, n)
+        done += n
+        Fh = np.asarray(F)
+        print(f">>> step {done}: mass={Fh[1:-1,1:-1].sum():.3f} "
+              f"range=[{Fh.min():.3f},{Fh.max():.3f}]")
+        if not args.no_frames:
+            save_contour_png(
+                os.path.join(args.outdir, f"{args.case}-{done:06d}.png"),
+                Fh, case.grid.Lx, case.grid.Ly)
+    print(f">>> done in {time.time() - t0:.1f}s")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.case:
+        return run_advection(args)
+
+    import tpuvof as tv
+    from .metrics import banner, compute_metrics_jit, format_frame
+    from .viz import MODES, render_frame, interp_velocity, arrow_field
+    from .io_utils import (save_frame_png, save_contour_png, save_checkpoint,
+                           load_checkpoint)
+
+    ny = args.ny or args.nx
+    cfg = tv.SimConfig(
+        grid=tv.Grid2D(args.nx, ny).validate(),
+        num=tv.Numerics(dt=args.dt, n_jacobi=args.jacobi),
+    )
+
+    istep = 0
+    if args.resume:
+        state, istep, ckpt_cfg = load_checkpoint(args.resume)
+        if tuple(state.F.shape) != cfg.grid.shape:
+            print(f"error: checkpoint grid {state.F.shape} != requested "
+                  f"{cfg.grid.shape}", file=sys.stderr)
+            return 2
+        print(f">>> resumed from {args.resume} at step {istep}")
+    else:
+        state = tv.init_state(cfg, ic=args.ic)
+
+    os.makedirs(args.outdir, exist_ok=True)
+    print(banner(cfg))
+    print(">>> Compiling the step program...")
+
+    vis_idx = MODES.index(args.view)
+    target_step = istep + args.steps
+    t0 = time.time()
+    while istep < target_step:
+        n = min(args.frame_every, target_step - istep)
+        # keep the reference's odd-first parity: steps istep+1 .. istep+n
+        if istep % 2 == 0:
+            state = tv.simulate(cfg, state, n)
+        else:  # resumed mid-pair: run one even step, then the rest
+            state = tv.step(cfg, state, even_step=True)
+            state = tv.simulate(cfg, state, n - 1)
+        istep += n
+
+        mode = MODES[vis_idx % len(MODES)]
+        m = compute_metrics_jit(cfg, state)
+        print(format_frame(istep, cfg.num.dt, m, mode))
+        if not bool(m.finite):
+            print(">>> aborting: non-finite fields", file=sys.stderr)
+            return 1
+
+        if not args.no_frames:
+            count = istep // args.frame_every - 1
+            if mode == "vectors":
+                rgb = render_frame(cfg, state, "vof")
+                V = interp_velocity(cfg, state)
+                arrows = arrow_field(np.asarray(V), arrow_spacing=4)
+                save_frame_png(os.path.join(args.outdir, f"{count:06d}-{mode}.png"),
+                               np.asarray(rgb), arrows)
+            else:
+                rgb = render_frame(cfg, state, mode)
+                save_frame_png(os.path.join(args.outdir, f"{count:06d}-{mode}.png"),
+                               np.asarray(rgb))
+            if args.save_fig:
+                save_contour_png(os.path.join(args.outdir, f"{count:06d}-f.png"),
+                                 np.asarray(state.F), cfg.grid.Lx, cfg.grid.Ly)
+        if args.cycle_views:
+            vis_idx += 1
+        if args.checkpoint_every and istep % args.checkpoint_every == 0:
+            path = os.path.join(args.outdir, f"ckpt_{istep:06d}.npz")
+            save_checkpoint(path, cfg, state, istep)
+            print(f">>> checkpoint saved: {path}")
+
+    wall = time.time() - t0
+    cups = cfg.grid.nx * cfg.grid.ny * args.steps / wall
+    print(f">>> {args.steps} steps in {wall:.2f}s "
+          f"({cups:.3e} cell-updates/s incl. frame I/O)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

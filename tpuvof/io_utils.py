@@ -1,0 +1,142 @@
+"""Output artifacts and checkpointing (layer L4).
+
+Reference outputs: PNG frames via matplotlib contourf (2dvof.py:563-571),
+per-opt GUI screenshots (diff_vof.py:554), VTK volumes via pyevtk
+(3dvof.py:624-627). Checkpoint/resume does not exist in the reference
+(SURVEY.md §5) — here the state pytree round-trips through npz, a strict
+superset of reference behavior.
+
+The VTK writer is self-contained (pyevtk is not available in this image):
+legacy VTK STRUCTURED_POINTS, binary big-endian f32 — readable by ParaView
+/ VisIt exactly like the reference's .vtr output.
+"""
+from __future__ import annotations
+
+import json
+import os
+import struct
+from dataclasses import asdict
+
+import numpy as np
+
+from .config import SimConfig
+from .state import State
+
+__all__ = [
+    "save_frame_png",
+    "save_contour_png",
+    "save_checkpoint",
+    "load_checkpoint",
+    "write_vtk",
+]
+
+
+def save_frame_png(path: str, rgb, arrows=None):
+    """Write an RGB frame (optionally with the arrow overlay) to a PNG."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rgb = np.asarray(rgb)
+    # frame arrays are (x, y); images are (row=y downward, col=x)
+    img = np.transpose(rgb, (1, 0, 2))[::-1]
+    if arrows is None:
+        plt.imsave(path, np.clip(img, 0.0, 1.0))
+        return
+    h, w = img.shape[:2]
+    fig = plt.figure(figsize=(w / 100, h / 100), dpi=100)
+    ax = fig.add_axes([0, 0, 1, 1])
+    ax.imshow(np.clip(img, 0, 1), extent=[0, 1, 0, 1], origin="lower")
+    begin, incre = arrows
+    ax.quiver(
+        begin[:, 0], begin[:, 1], incre[:, 0], incre[:, 1],
+        angles="xy", scale_units="xy", scale=1.0, color="black", width=0.002,
+    )
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.axis("off")
+    fig.savefig(path)
+    plt.close(fig)
+
+
+def save_contour_png(path: str, F, Lx: float, Ly: float):
+    """The reference's -s figure: plt.contourf(F.T, cmap=Blues), figure size
+    (5, Ly/Lx*5), axes off (2dvof.py:563-571)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    Fnp = np.asarray(F)
+    fx, fy = 5, Ly / Lx * 5
+    plt.figure(figsize=(fx, fy))
+    plt.axis("off")
+    plt.contourf(Fnp.T, cmap=plt.cm.Blues)
+    plt.savefig(path)
+    plt.close()
+
+
+def save_checkpoint(path: str, cfg: SimConfig, state: State, istep: int):
+    """npz checkpoint of the full state pytree + step counter + config echo."""
+    np.savez_compressed(
+        path,
+        F=np.asarray(state.F),
+        u=np.asarray(state.u),
+        v=np.asarray(state.v),
+        p=np.asarray(state.p),
+        istep=np.int64(istep),
+        config=json.dumps(
+            {
+                "grid": asdict(cfg.grid),
+                "fluid": asdict(cfg.fluid),
+                "num": asdict(cfg.num),
+            }
+        ),
+    )
+
+
+def load_checkpoint(path: str):
+    """Returns (state, istep, config_dict). The caller decides whether the
+    config matches its own (a mismatch is surfaced, not silently adopted)."""
+    import jax.numpy as jnp
+
+    with np.load(path, allow_pickle=False) as z:
+        state = State(
+            F=jnp.asarray(z["F"]),
+            u=jnp.asarray(z["u"]),
+            v=jnp.asarray(z["v"]),
+            p=jnp.asarray(z["p"]),
+        )
+        return state, int(z["istep"]), json.loads(str(z["config"]))
+
+
+def write_vtk(path: str, point_data: dict, spacing=(1.0, 1.0, 1.0)):
+    """Legacy-format VTK STRUCTURED_POINTS volume (binary, big-endian f32).
+
+    `point_data` maps field name -> 3-D array. Equivalent artifact to the
+    reference's gridToVTK dump (3dvof.py:624-627).
+    """
+    first = next(iter(point_data.values()))
+    nx, ny, nz = first.shape
+    if not path.endswith(".vtk"):
+        path = path + ".vtk"
+    with open(path, "wb") as f:
+        f.write(b"# vtk DataFile Version 3.0\n")
+        f.write(b"tpuvof volume\n")
+        f.write(b"BINARY\n")
+        f.write(b"DATASET STRUCTURED_POINTS\n")
+        f.write(f"DIMENSIONS {nx} {ny} {nz}\n".encode())
+        f.write(b"ORIGIN 0 0 0\n")
+        f.write(f"SPACING {spacing[0]} {spacing[1]} {spacing[2]}\n".encode())
+        f.write(f"POINT_DATA {nx * ny * nz}\n".encode())
+        for name, arr in point_data.items():
+            arr = np.asarray(arr, dtype=np.float32)
+            if arr.shape != (nx, ny, nz):
+                raise ValueError(f"field {name} shape {arr.shape} != {(nx, ny, nz)}")
+            f.write(f"SCALARS {name} float 1\n".encode())
+            f.write(b"LOOKUP_TABLE default\n")
+            # VTK wants x varying fastest; arrays are indexed [x, y, z]
+            f.write(arr.transpose(2, 1, 0).astype(">f4").tobytes())
+            f.write(b"\n")
+    return path
