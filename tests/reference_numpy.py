@@ -419,3 +419,327 @@ class RefSolver2D:
     def run(self, n_steps):
         for t in range(1, n_steps + 1):
             self.step(t)
+
+
+class RefSolver3D:
+    """Loop-based spec of the experimental 3-D solver (3dvof.py).
+
+    Faithful to its quirks: surface tension inert (kappa never written,
+    3dvof.py:607), the y-sweep's 2-D flux scale (3dvof.py:438), dz computed
+    equal to dx/dy on the uniform grid, sweep order rotating with
+    istep % 3 (3dvof.py:351-363).
+    """
+
+    def __init__(self, n, L=0.1, rho_l=1000.0, rho_g=50.0, nu_l=1.0e-6,
+                 nu_g=1.5e-5, sigma=0.007, gx=0.0, gy=-5.0, gz=0.0,
+                 dt=4e-6, n_jacobi=10, dtype=np.float64):
+        self.n = n
+        self.L = L
+        self.rho_l, self.rho_g = rho_l, rho_g
+        self.nu_l, self.nu_g = nu_l, nu_g
+        self.sigma = sigma
+        self.gx, self.gy, self.gz = gx, gy, gz
+        self.dt = dt
+        self.n_jacobi = n_jacobi
+        self.imin = self.jmin = self.kmin = 1
+        self.imax = self.jmax = self.kmax = n
+        self.x = np.hstack((0.0, np.linspace(0, L, n + 1), L)).astype(np.float32)
+        self.dx = self.dy = self.dz = float(self.x[3] - self.x[2])
+        self.dxi = self.dyi = self.dzi = 1.0 / self.dx
+        shape = (n + 2, n + 2, n + 2)
+        z = lambda: np.zeros(shape, dtype=dtype)
+        self.F, self.Ftd = z(), z()
+        self.ax, self.ay, self.az = z(), z(), z()
+        self.cx, self.cy, self.cz = z(), z(), z()
+        self.rp, self.rm = z(), z()
+        self.u, self.v, self.w = z(), z(), z()
+        self.u_star, self.v_star, self.w_star = z(), z(), z()
+        self.p, self.pt = z(), z()
+        self.rho, self.nu = z(), z()
+        self.kappa = z()  # never written: surface tension inert
+
+    median = staticmethod(RefSolver2D.median)
+
+    def interior(self):
+        r = range(1, self.n + 1)
+        return [(i, j, k) for i in r for j in r for k in r]
+
+    def set_init_F(self):
+        x2, y2, z2 = self.L / 3, self.L / 2, self.L / 3
+        for i in range(self.n + 2):
+            for j in range(self.n + 2):
+                for k in range(self.n + 2):
+                    if self.x[i] <= x2 and self.x[j] <= y2 and self.x[k] <= z2:
+                        self.F[i, j, k] = 1.0
+
+    def set_BC(self):
+        n = self.n
+        for i in range(n + 2):       # bottom/top (y)
+            for k in range(n + 2):
+                self.u[i, 0, k] = self.u[i, 1, k]
+                self.v[i, 1, k] = 0.0
+                self.w[i, 0, k] = self.w[i, 1, k]
+                self.F[i, 0, k] = self.F[i, 1, k]
+                self.p[i, 0, k] = self.p[i, 1, k]
+                self.rho[i, 0, k] = self.rho[i, 1, k]
+                self.u[i, n + 1, k] = self.u[i, n, k]
+                self.v[i, n + 1, k] = 0.0
+                self.w[i, n + 1, k] = self.w[i, n, k]
+                self.F[i, n + 1, k] = self.F[i, n, k]
+                self.p[i, n + 1, k] = self.p[i, n, k]
+                self.rho[i, n + 1, k] = self.rho[i, n, k]
+        for j in range(n + 2):       # left/right (x)
+            for k in range(n + 2):
+                self.u[1, j, k] = 0.0
+                self.v[0, j, k] = self.v[1, j, k]
+                self.w[0, j, k] = self.w[1, j, k]
+                self.F[0, j, k] = self.F[1, j, k]
+                self.p[0, j, k] = self.p[1, j, k]
+                self.rho[0, j, k] = self.rho[1, j, k]
+                self.u[n + 1, j, k] = 0.0
+                self.v[n + 1, j, k] = self.v[n, j, k]
+                self.w[n + 1, j, k] = self.w[n, j, k]
+                self.F[n + 1, j, k] = self.F[n, j, k]
+                self.p[n + 1, j, k] = self.p[n, j, k]
+                self.rho[n + 1, j, k] = self.rho[n, j, k]
+        for i in range(n + 2):       # front/back (z)
+            for j in range(n + 2):
+                self.u[i, j, 0] = self.u[i, j, 1]
+                self.v[i, j, 0] = self.v[i, j, 1]
+                self.w[i, j, 1] = 0.0
+                self.F[i, j, 0] = self.F[i, j, 1]
+                self.p[i, j, 0] = self.p[i, j, 1]
+                self.rho[i, j, 0] = self.rho[i, j, 1]
+                self.u[i, j, n + 1] = self.u[i, j, n]
+                self.v[i, j, n + 1] = self.v[i, j, n]
+                self.w[i, j, n + 1] = 0.0
+                self.F[i, j, n + 1] = self.F[i, j, n]
+                self.p[i, j, n + 1] = self.p[i, j, n]
+                self.rho[i, j, n + 1] = self.rho[i, j, n]
+
+    def cal_nu_rho(self):
+        f = np.clip(self.F, 0.0, 1.0)
+        self.rho[...] = self.rho_g * (1 - f) + self.rho_l * f
+        self.nu[...] = self.nu_l * f + self.nu_g * (1 - f)
+
+    def advect_upwind(self):
+        u, v, w, F = self.u, self.v, self.w, self.F
+        nu, rho, kap = self.nu, self.rho, self.kappa
+        dt, dxi, dyi, dzi = self.dt, self.dxi, self.dyi, self.dzi
+        n = self.n
+        for i in range(2, n + 1):
+            for j in range(1, n + 1):
+                for k in range(1, n + 1):
+                    v_here = 0.25 * (v[i-1,j,k] + v[i-1,j+1,k] + v[i,j,k] + v[i,j+1,k])
+                    w_here = 0.25 * (w[i-1,j,k] + w[i-1,j,k+1] + w[i,j,k] + w[i,j,k+1])
+                    dudx = (u[i,j,k]-u[i-1,j,k])*dxi if u[i,j,k] > 0 else (u[i+1,j,k]-u[i,j,k])*dxi
+                    dudy = (u[i,j,k]-u[i,j-1,k])*dyi if v_here > 0 else (u[i,j+1,k]-u[i,j,k])*dyi
+                    dudz = (u[i,j,k]-u[i,j,k-1])*dzi if w_here > 0 else (u[i,j,k+1]-u[i,j,k])*dzi
+                    fx = -self.sigma * (F[i,j,k]-F[i-1,j,k]) * 0.5*(kap[i,j,k]+kap[i-1,j,k]) / self.dx
+                    self.u_star[i,j,k] = u[i,j,k] + dt * (
+                        nu[i,j,k]*(u[i-1,j,k]-2*u[i,j,k]+u[i+1,j,k])*dxi**2
+                        + nu[i,j,k]*(u[i,j-1,k]-2*u[i,j,k]+u[i,j+1,k])*dyi**2
+                        + nu[i,j,k]*(u[i,j,k-1]-2*u[i,j,k]+u[i,j,k+1])*dzi**2
+                        - u[i,j,k]*dudx - v_here*dudy - w_here*dudz
+                        + self.gx + fx * 2 / (rho[i,j,k]+rho[i-1,j,k]))
+        for i in range(1, n + 1):
+            for j in range(2, n + 1):
+                for k in range(1, n + 1):
+                    u_here = 0.25 * (u[i,j-1,k] + u[i,j,k] + u[i+1,j-1,k] + u[i+1,j,k])
+                    w_here = 0.25 * (w[i,j-1,k+1] + w[i,j-1,k] + w[i,j,k] + w[i,j,k+1])
+                    dvdx = (v[i,j,k]-v[i-1,j,k])*dxi if u_here > 0 else (v[i+1,j,k]-v[i,j,k])*dxi
+                    dvdy = (v[i,j,k]-v[i,j-1,k])*dyi if v[i,j,k] > 0 else (v[i,j+1,k]-v[i,j,k])*dyi
+                    dvdz = (v[i,j,k]-v[i,j,k-1])*dzi if w_here > 0 else (v[i,j,k+1]-v[i,j,k])*dzi
+                    fy = -self.sigma * (F[i,j,k]-F[i,j-1,k]) * 0.5*(kap[i,j,k]+kap[i,j-1,k]) / self.dy
+                    self.v_star[i,j,k] = v[i,j,k] + dt * (
+                        nu[i,j,k]*(v[i-1,j,k]-2*v[i,j,k]+v[i+1,j,k])*dxi**2
+                        + nu[i,j,k]*(v[i,j-1,k]-2*v[i,j,k]+v[i,j+1,k])*dyi**2
+                        + nu[i,j,k]*(v[i,j,k-1]-2*v[i,j,k]+v[i,j,k+1])*dzi**2
+                        - u_here*dvdx - v[i,j,k]*dvdy - w_here*dvdz
+                        + self.gy + fy * 2 / (rho[i,j,k]+rho[i,j-1,k]))
+        for i in range(1, n + 1):
+            for j in range(1, n + 1):
+                for k in range(2, n + 1):
+                    u_here = 0.25 * (u[i+1,j,k-1] + u[i,j,k-1] + u[i+1,j,k] + u[i,j,k])
+                    v_here = 0.25 * (v[i,j+1,k-1] + v[i,j,k-1] + v[i,j,k] + v[i,j+1,k])
+                    dwdx = (w[i,j,k]-w[i-1,j,k])*dxi if u_here > 0 else (w[i+1,j,k]-w[i,j,k])*dxi
+                    dwdy = (w[i,j,k]-w[i,j-1,k])*dyi if v_here > 0 else (w[i,j+1,k]-w[i,j,k])*dyi
+                    dwdz = (w[i,j,k]-w[i,j,k-1])*dzi if w[i,j,k] > 0 else (w[i,j,k+1]-w[i,j,k])*dzi
+                    fz = -self.sigma * (F[i,j,k]-F[i,j,k-1]) * 0.5*(kap[i,j,k]+kap[i,j,k-1]) / self.dz
+                    self.w_star[i,j,k] = w[i,j,k] + dt * (
+                        nu[i,j,k]*(w[i-1,j,k]-2*w[i,j,k]+w[i+1,j,k])*dxi**2
+                        + nu[i,j,k]*(w[i,j-1,k]-2*w[i,j,k]+w[i,j+1,k])*dyi**2
+                        + nu[i,j,k]*(w[i,j,k-1]-2*w[i,j,k]+w[i,j,k+1])*dzi**2
+                        - u_here*dwdx - v_here*dwdy - w[i,j,k]*dwdz
+                        + self.gz + fz * 2 / (rho[i,j,k]+rho[i,j,k-1]))
+
+    def solve_p_jacobi(self):
+        dxi, dyi, dzi, dt = self.dxi, self.dyi, self.dzi, self.dt
+        for i, j, k in self.interior():
+            rhs = self.rho[i,j,k] / dt * (
+                (self.u_star[i+1,j,k]-self.u_star[i,j,k])*dxi
+                + (self.v_star[i,j+1,k]-self.v_star[i,j,k])*dyi
+                + (self.w_star[i,j,k+1]-self.w_star[i,j,k])*dzi)
+            ae = dxi**2 if i != self.imax else 0.0
+            aw = dxi**2 if i != self.imin else 0.0
+            an = dyi**2 if j != self.jmax else 0.0
+            a_s = dyi**2 if j != self.jmin else 0.0
+            af = dzi**2 if k != self.kmax else 0.0
+            ab = dzi**2 if k != self.kmin else 0.0
+            ap = -(ae + aw + an + a_s + ab + af)
+            self.pt[i,j,k] = (rhs - ae*self.p[i+1,j,k] - aw*self.p[i-1,j,k]
+                              - an*self.p[i,j+1,k] - a_s*self.p[i,j-1,k]
+                              - af*self.p[i,j,k+1] - ab*self.p[i,j,k-1]) / ap
+        for i, j, k in self.interior():
+            self.p[i,j,k] = self.pt[i,j,k]
+
+    def update_uvw(self):
+        dt = self.dt
+        n = self.n
+        for i in range(2, n + 1):
+            for j in range(1, n + 1):
+                for k in range(1, n + 1):
+                    r = (self.rho[i,j,k]+self.rho[i-1,j,k])*0.5
+                    self.u[i,j,k] = self.u_star[i,j,k] - dt/r*(self.p[i,j,k]-self.p[i-1,j,k])*self.dxi
+        for i in range(1, n + 1):
+            for j in range(2, n + 1):
+                for k in range(1, n + 1):
+                    r = (self.rho[i,j,k]+self.rho[i,j-1,k])*0.5
+                    self.v[i,j,k] = self.v_star[i,j,k] - dt/r*(self.p[i,j,k]-self.p[i,j-1,k])*self.dyi
+        for i in range(1, n + 1):
+            for j in range(1, n + 1):
+                for k in range(2, n + 1):
+                    r = (self.rho[i,j,k]+self.rho[i,j,k-1])*0.5
+                    self.w[i,j,k] = self.w_star[i,j,k] - dt/r*(self.p[i,j,k]-self.p[i,j,k-1])*self.dzi
+
+    def _flux(self, vel, F_lo, F_hi, high):
+        if high:
+            return vel * self.dt * (F_lo if vel <= 0 else F_hi)
+        return vel * self.dt * (F_lo if vel >= 0 else F_hi)
+
+    def fct_x_sweep(self):
+        dx, dy, dz, dt = self.dx, self.dy, self.dz, self.dt
+        vol = dx * dy * dz
+        u, F = self.u, self.F
+        xf = lambda i, j, k, hi: self._flux(u[i,j,k], F[i-1,j,k], F[i,j,k], hi)
+        for i, j, k in self.interior():
+            dv = vol - dt*dy*dz*(u[i+1,j,k]-u[i,j,k])
+            ftd = (F[i,j,k] + (xf(i,j,k,False)-xf(i+1,j,k,False))*dy*dz/vol) * vol / dv
+            if ftd > 1.0 or ftd < 0.0:
+                ftd = self.median(0.0, 1.0, ftd)
+            self.Ftd[i,j,k] = ftd
+        for i, j, k in self.interior():
+            self.ax[i,j,k] = xf(i,j,k,True) - xf(i,j,k,False)
+            self.ax[i+1,j,k] = xf(i+1,j,k,True) - xf(i+1,j,k,False)
+        for i, j, k in self.interior():
+            fmax = max(self.Ftd[i,j,k], self.Ftd[i-1,j,k], self.Ftd[i+1,j,k])
+            fmin = min(self.Ftd[i,j,k], self.Ftd[i-1,j,k], self.Ftd[i+1,j,k])
+            pp = max(0.0, self.ax[i,j,k]) - min(0.0, self.ax[i+1,j,k])
+            qp = (fmax - self.Ftd[i,j,k]) * dx
+            self.rp[i,j,k] = min(1.0, qp/pp) if pp > 0 else 0.0
+            pm = max(0.0, self.ax[i+1,j,k]) - min(0.0, self.ax[i,j,k])
+            qm = (self.Ftd[i,j,k] - fmin) * dx
+            self.rm[i,j,k] = min(1.0, qm/pm) if pm > 0 else 0.0
+        for i, j, k in self.interior():
+            if self.ax[i+1,j,k] >= 0:
+                self.cx[i+1,j,k] = min(self.rp[i+1,j,k], self.rm[i,j,k])
+            else:
+                self.cx[i+1,j,k] = min(self.rp[i,j,k], self.rm[i+1,j,k])
+        for i, j, k in self.interior():
+            dv = vol - dt*dy*dz*(u[i+1,j,k]-u[i,j,k])
+            f = self.Ftd[i,j,k] - ((self.ax[i+1,j,k]*self.cx[i+1,j,k]
+                                    - self.ax[i,j,k]*self.cx[i,j,k]) / dy) * vol / dv
+            self.F[i,j,k] = self.median(0.0, 1.0, f)
+
+    def fct_y_sweep(self):
+        dx, dy, dz, dt = self.dx, self.dy, self.dz, self.dt
+        vol = dx * dy * dz
+        v, F = self.v, self.F
+        yf = lambda i, j, k, hi: self._flux(v[i,j,k], F[i,j-1,k], F[i,j,k], hi)
+        for i, j, k in self.interior():
+            dv = vol - dt*dx*dz*(v[i,j+1,k]-v[i,j,k])
+            # 2-D flux scale kept by the reference (3dvof.py:438)
+            ftd = (F[i,j,k] + (yf(i,j,k,False)-yf(i,j+1,k,False))*dy/(dx*dy)) * vol / dv
+            if ftd > 1.0 or ftd < 0.0:
+                ftd = self.median(0.0, 1.0, ftd)
+            self.Ftd[i,j,k] = ftd
+        for i, j, k in self.interior():
+            self.ay[i,j,k] = yf(i,j,k,True) - yf(i,j,k,False)
+            self.ay[i,j+1,k] = yf(i,j+1,k,True) - yf(i,j+1,k,False)
+        for i, j, k in self.interior():
+            fmax = max(self.Ftd[i,j,k], self.Ftd[i,j-1,k], self.Ftd[i,j+1,k])
+            fmin = min(self.Ftd[i,j,k], self.Ftd[i,j-1,k], self.Ftd[i,j+1,k])
+            pp = max(0.0, self.ay[i,j,k]) - min(0.0, self.ay[i,j+1,k])
+            qp = (fmax - self.Ftd[i,j,k]) * dx
+            self.rp[i,j,k] = min(1.0, qp/pp) if pp > 0 else 0.0
+            pm = max(0.0, self.ay[i,j+1,k]) - min(0.0, self.ay[i,j,k])
+            qm = (self.Ftd[i,j,k] - fmin) * dx
+            self.rm[i,j,k] = min(1.0, qm/pm) if pm > 0 else 0.0
+        for i, j, k in self.interior():
+            if self.ay[i,j+1,k] >= 0:
+                self.cy[i,j+1,k] = min(self.rp[i,j+1,k], self.rm[i,j,k])
+            else:
+                self.cy[i,j+1,k] = min(self.rp[i,j,k], self.rm[i,j+1,k])
+        for i, j, k in self.interior():
+            dv = vol - dt*dx*dz*(v[i,j+1,k]-v[i,j,k])
+            f = self.Ftd[i,j,k] - ((self.ay[i,j+1,k]*self.cy[i,j+1,k]
+                                    - self.ay[i,j,k]*self.cy[i,j,k]) / dy) * vol / dv
+            self.F[i,j,k] = self.median(0.0, 1.0, f)
+
+    def fct_z_sweep(self):
+        dx, dy, dz, dt = self.dx, self.dy, self.dz, self.dt
+        vol = dx * dy * dz
+        w, F = self.w, self.F
+        zf = lambda i, j, k, hi: self._flux(w[i,j,k], F[i,j,k-1], F[i,j,k], hi)
+        for i, j, k in self.interior():
+            dv = vol - dt*dx*dy*(w[i,j,k+1]-w[i,j,k])
+            ftd = (F[i,j,k] + (zf(i,j,k,False)-zf(i,j,k+1,False))*dy*dx/vol) * vol / dv
+            if ftd > 1.0 or ftd < 0.0:
+                ftd = self.median(0.0, 1.0, ftd)
+            self.Ftd[i,j,k] = ftd
+        for i, j, k in self.interior():
+            self.az[i,j,k] = zf(i,j,k,True) - zf(i,j,k,False)
+            self.az[i,j,k+1] = zf(i,j,k+1,True) - zf(i,j,k+1,False)
+        for i, j, k in self.interior():
+            fmax = max(self.Ftd[i,j,k], self.Ftd[i,j,k-1], self.Ftd[i,j,k+1])
+            fmin = min(self.Ftd[i,j,k], self.Ftd[i,j,k-1], self.Ftd[i,j,k+1])
+            pp = max(0.0, self.az[i,j,k]) - min(0.0, self.az[i,j,k+1])
+            qp = (fmax - self.Ftd[i,j,k]) * dz
+            self.rp[i,j,k] = min(1.0, qp/pp) if pp > 0 else 0.0
+            pm = max(0.0, self.az[i,j,k+1]) - min(0.0, self.az[i,j,k])
+            qm = (self.Ftd[i,j,k] - fmin) * dz
+            self.rm[i,j,k] = min(1.0, qm/pm) if pm > 0 else 0.0
+        for i, j, k in self.interior():
+            if self.az[i,j,k+1] >= 0:
+                self.cz[i,j,k+1] = min(self.rp[i,j,k+1], self.rm[i,j,k])
+            else:
+                self.cz[i,j,k+1] = min(self.rp[i,j,k], self.rm[i,j,k+1])
+        for i, j, k in self.interior():
+            dv = vol - dt*dx*dy*(w[i,j,k+1]-w[i,j,k])
+            f = self.Ftd[i,j,k] - ((self.az[i,j,k+1]*self.cz[i,j,k+1]
+                                    - self.az[i,j,k]*self.cz[i,j,k]) / dz) * vol / dv
+            self.F[i,j,k] = self.median(0.0, 1.0, f)
+
+    def solve_VOF_rudman(self, istep):
+        if istep % 3 == 0:
+            self.fct_x_sweep(); self.fct_y_sweep(); self.fct_z_sweep()
+        elif istep % 3 == 1:
+            self.fct_y_sweep(); self.fct_z_sweep(); self.fct_x_sweep()
+        else:
+            self.fct_z_sweep(); self.fct_x_sweep(); self.fct_y_sweep()
+
+    def step(self, istep):
+        self.cal_nu_rho()
+        self.advect_upwind()
+        self.set_BC()
+        for _ in range(self.n_jacobi):
+            self.solve_p_jacobi()
+        self.update_uvw()
+        self.set_BC()
+        self.solve_VOF_rudman(istep)
+        self.F[...] = np.clip(self.F, 0.0, 1.0)
+        self.set_BC()
+
+    def run(self, n_steps):
+        for t in range(1, n_steps + 1):
+            self.step(t)

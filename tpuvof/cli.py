@@ -53,7 +53,90 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=[None, "single_vortex", "zalesak_disk", "translation",
                             "checkerboard"],
                    help="run a pure-advection scheme case instead of the NS solver")
+    # differentiable optimization (diff_vof.py equivalent)
+    p.add_argument("--optimize", type=int, choices=[1, 2, 3], default=None,
+                   help="optimize F0 toward the diff target shape for this ic")
+    p.add_argument("--target-npy", default=None,
+                   help="optimize F0 toward a target loaded from a .npy file "
+                        "(painted-target replacement)")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=0.02)
+    p.add_argument("--opt-steps", type=int, default=999, dest="opt_steps",
+                   help="forward steps per optimization epoch")
+    p.add_argument("--adjoint", choices=["unrolled", "selfadjoint"],
+                   default="selfadjoint",
+                   help="pressure-solve adjoint: selfadjoint is the diff_vof_replaced-style custom adjoint (robust on TPU); unrolled differentiates through the iterations")
+    # 3-D mode (3dvof.py equivalent: dam break + VTK dumps)
+    p.add_argument("--three-d", action="store_true", dest="three_d",
+                   help="run the 3-D dam break (VTK volume every frame interval)")
     return p
+
+
+def run_3d(args) -> int:
+    import numpy as np
+    from .grid import Grid3D
+    from .state import init_state_3d
+    from .solver3d import simulate_3d
+    from .io_utils import write_vtk
+
+    n = args.nx
+    g = Grid3D(n, n, n)
+    state = init_state_3d(g, ic=args.ic)
+    os.makedirs(args.outdir, exist_ok=True)
+    print(f">>> 3-D VOF dam break: {n}^3, dt = {args.dt:4.2e}, "
+          f"{args.steps} steps, VTK every {args.frame_every}")
+    t0 = time.time()
+    done = 0
+    while done < args.steps:
+        k = min(args.frame_every, args.steps - done)
+        state = simulate_3d(g, state, k, args.dt, args.jacobi)
+        done += k
+        F = np.asarray(state.F)
+        print(f">>> Exporting step-{done:05d} result... "
+              f"mass={F[1:-1,1:-1,1:-1].sum():.1f} "
+              f"range=[{F.min():.3f},{F.max():.3f}]")
+        if not args.no_frames:
+            write_vtk(os.path.join(args.outdir, f"step-{done:05d}"),
+                      {"VOF": F})
+    wall = time.time() - t0
+    print(f">>> {args.steps} steps in {wall:.2f}s "
+          f"({n**3 * args.steps / wall:.3e} cell-updates/s)")
+    return 0
+
+
+def run_optimize(args) -> int:
+    import numpy as np
+    import jax.numpy as jnp
+    from . import diff
+    from .io_utils import save_contour_png
+
+    cfg = diff.diff_config(n=args.nx, adjoint=args.adjoint)
+    if args.target_npy:
+        Ftarget = jnp.asarray(np.load(args.target_npy).astype(np.float32))
+        if Ftarget.shape != cfg.grid.shape:
+            print(f"error: target shape {Ftarget.shape} != grid {cfg.grid.shape}",
+                  file=sys.stderr)
+            return 2
+    else:
+        Ftarget = diff.diff_target(cfg, args.optimize or 1)
+    os.makedirs(args.outdir, exist_ok=True)
+    print(f">>> Differentiable optimization: {args.nx}x{args.nx}, "
+          f"{args.opt_steps} steps/epoch, {args.epochs} epochs, lr={args.lr}, "
+          f"adjoint={args.adjoint}")
+
+    def cb(epoch, loss, F0, grad):
+        print(f">>> >>> Optimization cycle {epoch}: loss = {loss:.4f}")
+        if not args.no_frames and epoch % 10 == 0:
+            save_contour_png(os.path.join(args.outdir, f"opt-{epoch:04d}-f0.png"),
+                             np.asarray(F0), cfg.grid.Lx, cfg.grid.Ly)
+
+    opts = diff.DiffOptions(n_steps=args.opt_steps, lr=args.lr)
+    F0, losses = diff.optimize_f0(cfg, Ftarget, opts=opts,
+                                  n_epochs=args.epochs, callback=cb)
+    np.save(os.path.join(args.outdir, "F0_optimized.npy"), np.asarray(F0))
+    print(f">>> final loss {losses[-1]:.4f} (from {losses[0]:.4f}); "
+          f"F0 saved to {args.outdir}/F0_optimized.npy")
+    return 0
 
 
 def run_advection(args) -> int:
@@ -88,6 +171,10 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.case:
         return run_advection(args)
+    if args.optimize or args.target_npy:
+        return run_optimize(args)
+    if args.three_d:
+        return run_3d(args)
 
     import tpuvof as tv
     from .metrics import banner, compute_metrics_jit, format_frame

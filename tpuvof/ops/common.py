@@ -32,8 +32,18 @@ def win3(a, ri, rj, rk, di: int = 0, dj: int = 0, dk: int = 0):
 
 
 def clamp01(x):
-    """median(0, 1, x) == clip to [0, 1] (reference `var`, 2dvof.py:192-195)."""
-    return jnp.clip(x, 0.0, 1.0)
+    """median(0, 1, x) == clip to [0, 1] (reference `var`, 2dvof.py:192-195).
+
+    Implemented with strict-comparison selects rather than jnp.clip: the
+    values are identical, but the VJP differs at the boundaries. jnp.clip's
+    max/min give derivative 0.5 at exact ties, which under autodiff halves
+    the gradient at every per-step clamp — through T steps that is a 0.5^T
+    attenuation that freezes the F0 optimization whenever F sits exactly at
+    0 or 1 (its starting state!). Taichi's median-of-selects passes
+    derivative 1 at the boundary (diff_vof.py differentiates *through* the
+    clamps, SURVEY.md §7 step 3); this form reproduces that.
+    """
+    return jnp.where(x < 0.0, 0.0, jnp.where(x > 1.0, 1.0, x))
 
 
 def median3(a, b, c):

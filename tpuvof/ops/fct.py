@@ -30,6 +30,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..config import FCTVariant, Numerics
+from .common import clamp01
 from ..grid import Grid2D
 
 __all__ = ["fct_sweep_x", "fct_sweep_y", "rudman_advect"]
@@ -71,7 +72,7 @@ def _sweep_axis0(dx: float, dy: float, dt: float, var: FCTVariant, F, u, sync=No
     else:
         ftd_int = F_c + netflux * dx * dy / dv
     if var.clamp:
-        ftd_int = jnp.clip(ftd_int, 0.0, 1.0)
+        ftd_int = clamp01(ftd_int)
     Ftd = jnp.zeros_like(F).at[1:-1, 1:-1].set(ftd_int)
     if sync is not None:
         Ftd = sync(Ftd)
@@ -121,7 +122,7 @@ def _sweep_axis0(dx: float, dy: float, dt: float, var: FCTVariant, F, u, sync=No
     corr = (a[2:, 1:-1] * c[2:, 1:-1] - a[1:-1, 1:-1] * c[1:-1, 1:-1]) / dy
     f_new = ftd_int - corr * dx * dy / dv
     if var.clamp:
-        f_new = jnp.clip(f_new, 0.0, 1.0)
+        f_new = clamp01(f_new)
     return F.at[1:-1, 1:-1].set(f_new)
 
 

@@ -1,0 +1,137 @@
+"""3-D Rudman FCT sweeps (reference 3dvof.py:366-541).
+
+One generic sweep along axis 0 of (n0+2, n1+2, n2+2) arrays, parameterized
+by the literal scale factors of the reference's three sweeps — which are NOT
+uniform: the y-sweep keeps a 2-D flux scale dy/(dx*dy) (3dvof.py:438,
+SURVEY.md §2.5.5) and the limiter numerators use dx for x/y sweeps but dz
+for z (3dvof.py:398,462,519). On the uniform cubic cells the reference
+always uses, these coincide numerically, but the factors are kept explicit
+so the implementation is honest to the source. The x/y/z sweeps are
+transposes of the axis-0 kernel.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..grid import Grid3D
+from .common import clamp01
+
+__all__ = ["fct3d_sweep_x", "fct3d_sweep_y", "fct3d_sweep_z", "rudman_advect_3d"]
+
+
+def _sweep3d_axis0(vol, dv_area, flux_scale, q_scale, final_div, dt, F, u):
+    """FCT sweep along axis 0; u is the face-normal velocity on the lower
+    axis-0 faces. All clamping active (3dvof clamps like 2dvof).
+
+    vol: cell volume; dv_area: face area multiplying dt*du in dv;
+    flux_scale: factor applied to the net donor flux; q_scale: limiter
+    numerator scale; final_div: divisor in the antidiffusion application.
+    """
+    uf = u[1:, 1:-1, 1:-1]
+    F_up = F[:-1, 1:-1, 1:-1]
+    F_dn = F[1:, 1:-1, 1:-1]
+    fL = uf * dt * jnp.where(uf >= 0, F_up, F_dn)
+    fH = uf * dt * jnp.where(uf <= 0, F_up, F_dn)
+    a = jnp.zeros_like(F).at[1:, 1:-1, 1:-1].set(fH - fL)
+
+    F_c = F[1:-1, 1:-1, 1:-1]
+    dv = vol - dt * dv_area * (uf[1:] - uf[:-1])
+    ftd_int = (F_c + (fL[:-1] - fL[1:]) * flux_scale) * vol / dv
+    ftd_int = clamp01(ftd_int)
+    Ftd = jnp.zeros_like(F).at[1:-1, 1:-1, 1:-1].set(ftd_int)
+
+    fmax = jnp.maximum(Ftd[1:-1, 1:-1, 1:-1],
+                       jnp.maximum(Ftd[:-2, 1:-1, 1:-1], Ftd[2:, 1:-1, 1:-1]))
+    fmin = jnp.minimum(Ftd[1:-1, 1:-1, 1:-1],
+                       jnp.minimum(Ftd[:-2, 1:-1, 1:-1], Ftd[2:, 1:-1, 1:-1]))
+    a_lo = a[1:-1, 1:-1, 1:-1]
+    a_hi = a[2:, 1:-1, 1:-1]
+
+    pp = jnp.maximum(0.0, a_lo) - jnp.minimum(0.0, a_hi)
+    qp = (fmax - ftd_int) * q_scale
+    rp_int = jnp.where(pp > 0, jnp.minimum(1.0, qp / jnp.where(pp > 0, pp, 1.0)), 0.0)
+    pm = jnp.maximum(0.0, a_hi) - jnp.minimum(0.0, a_lo)
+    qm = (ftd_int - fmin) * q_scale
+    rm_int = jnp.where(pm > 0, jnp.minimum(1.0, qm / jnp.where(pm > 0, pm, 1.0)), 0.0)
+
+    rp = jnp.zeros_like(F).at[1:-1, 1:-1, 1:-1].set(rp_int)
+    rm = jnp.zeros_like(F).at[1:-1, 1:-1, 1:-1].set(rm_int)
+
+    a_f = a[1:, 1:-1, 1:-1]
+    c_int = jnp.where(
+        a_f >= 0,
+        jnp.minimum(rp[1:, 1:-1, 1:-1], rm[:-1, 1:-1, 1:-1]),
+        jnp.minimum(rp[:-1, 1:-1, 1:-1], rm[1:, 1:-1, 1:-1]),
+    )
+    c = jnp.zeros_like(F).at[1:, 1:-1, 1:-1].set(c_int)
+
+    corr = (a[2:, 1:-1, 1:-1] * c[2:, 1:-1, 1:-1]
+            - a[1:-1, 1:-1, 1:-1] * c[1:-1, 1:-1, 1:-1]) / final_div
+    f_new = clamp01(ftd_int - corr * vol / dv)
+    return F.at[1:-1, 1:-1, 1:-1].set(f_new)
+
+
+def fct3d_sweep_x(g: Grid3D, dt, F, u):
+    vol = g.dx * g.dy * g.dz
+    return _sweep3d_axis0(
+        vol, g.dy * g.dz, g.dy * g.dz / vol, g.dx, g.dy, dt, F, u
+    )
+
+
+def fct3d_sweep_y(g: Grid3D, dt, F, v):
+    vol = g.dx * g.dy * g.dz
+    Ft = jnp.transpose(F, (1, 0, 2))
+    vt = jnp.transpose(v, (1, 0, 2))
+    # 2-D flux scale dy/(dx*dy) kept from the reference (3dvof.py:438)
+    out = _sweep3d_axis0(
+        vol, g.dx * g.dz, g.dy / (g.dx * g.dy), g.dx, g.dy, dt, Ft, vt
+    )
+    return jnp.transpose(out, (1, 0, 2))
+
+
+def fct3d_sweep_z(g: Grid3D, dt, F, w):
+    vol = g.dx * g.dy * g.dz
+    Ft = jnp.transpose(F, (2, 0, 1))
+    wt = jnp.transpose(w, (2, 0, 1))
+    out = _sweep3d_axis0(
+        vol, g.dx * g.dy, g.dy * g.dx / vol, g.dz, g.dz, dt, Ft, wt
+    )
+    return jnp.transpose(out, (1, 2, 0))
+
+
+def rudman_advect_3d(g: Grid3D, dt, F, u, v, w, phase: int):
+    """Three-way sweep rotation by istep % 3 (3dvof.py:351-363)."""
+    if phase == 0:
+        F = fct3d_sweep_x(g, dt, F, u)
+        F = fct3d_sweep_y(g, dt, F, v)
+        F = fct3d_sweep_z(g, dt, F, w)
+    elif phase == 1:
+        F = fct3d_sweep_y(g, dt, F, v)
+        F = fct3d_sweep_z(g, dt, F, w)
+        F = fct3d_sweep_x(g, dt, F, u)
+    else:
+        F = fct3d_sweep_z(g, dt, F, w)
+        F = fct3d_sweep_x(g, dt, F, u)
+        F = fct3d_sweep_y(g, dt, F, v)
+    return F
+
+
+def upwind_advect_3d(g: Grid3D, dt, F, u, v, w):
+    """Plain donor-cell VOF update (reference solve_VOF_upwind,
+    3dvof.py:335-347 — present but disabled in its main loop :620).
+    Kept for capability parity; note the reference's own 2-D volume factor
+    dx*dy/(dx*dy*dz) in the update (:347)."""
+    Ftd = F
+
+    def face_flux(vel, lo, hi):
+        return vel * dt * jnp.where(vel > 0, lo, hi)
+
+    c = Ftd[1:-1, 1:-1, 1:-1]
+    fl = face_flux(u[1:-1, 1:-1, 1:-1], Ftd[:-2, 1:-1, 1:-1], c)
+    fr = face_flux(u[2:, 1:-1, 1:-1], c, Ftd[2:, 1:-1, 1:-1])
+    fs = face_flux(v[1:-1, 1:-1, 1:-1], Ftd[1:-1, :-2, 1:-1], c)
+    fn = face_flux(v[1:-1, 2:, 1:-1], c, Ftd[1:-1, 2:, 1:-1])
+    fb = face_flux(w[1:-1, 1:-1, 1:-1], Ftd[1:-1, 1:-1, :-2], c)
+    ff = face_flux(w[1:-1, 1:-1, 2:], c, Ftd[1:-1, 1:-1, 2:])
+    upd = c + (fl - fr + fs - fn + fb - ff) * (g.dx * g.dy) / (g.dx * g.dy * g.dz)
+    return F.at[1:-1, 1:-1, 1:-1].set(upd)
