@@ -30,23 +30,31 @@ def measure(simulate, cfg, state, n_steps: int) -> float:
     return time.perf_counter() - t0, out
 
 
+def run_backend(tv, n, n_steps, backend):
+    cfg = tv.SimConfig(grid=tv.Grid2D(n, n), num=tv.Numerics(backend=backend))
+    state = tv.init_state(cfg, ic=1)
+    _, s = measure(tv.simulate, cfg, state, n_steps)  # warmup / compile
+    times = []
+    for _ in range(3):
+        dt, s = measure(tv.simulate, cfg, s, n_steps)
+        times.append(dt)
+    return min(times)
+
+
 def main():
+    import jax
     import tpuvof as tv
 
     n = 512
     n_steps = 1000
-    cfg = tv.dam_break_2d(n)
-    state = tv.init_state(cfg, ic=1)
-
-    # warmup / compile
-    _, state_w = measure(tv.simulate, cfg, state, n_steps)
-
-    times = []
-    s = state_w
-    for _ in range(3):
-        dt, s = measure(tv.simulate, cfg, s, n_steps)
-        times.append(dt)
-    best = min(times)
+    results = {"xla": run_backend(tv, n, n_steps, "xla")}
+    if jax.default_backend() != "cpu":
+        try:
+            results["pallas"] = run_backend(tv, n, n_steps, "pallas")
+        except Exception:
+            pass  # fused kernels unavailable on this backend/version
+    backend = min(results, key=results.get)
+    best = results[backend]
     cups = n * n * n_steps / best
 
     baseline = BASELINE_CUPS
@@ -64,6 +72,8 @@ def main():
                 "value": round(cups, 1),
                 "unit": "cells*steps/s",
                 "vs_baseline": round(cups / baseline, 3) if baseline == baseline else None,
+                "backend": backend,
+                "seconds_per_1000_steps": round(best, 4),
             }
         )
     )

@@ -184,3 +184,35 @@ def test_trajectory_f32():
     state = tv.simulate(cfg, state, n_steps)
     spec.run(n_steps)
     assert np.max(np.abs(np.asarray(state.F) - spec.F)) < 1e-4
+
+
+def test_rbsor_beats_fixed_jacobi():
+    """The RB-SOR upgrade reaches a far smaller residual than the
+    reference's fixed 10 Jacobi sweeps, and the solver stays stable on it."""
+    import jax.numpy as jnp
+    from tpuvof.ops.poisson import divergence_rhs, residual, solve_pressure
+
+    rng = np.random.default_rng(11)
+    spec = random_fields(rng, make_spec())
+    spec.get_normal_young()
+    spec.advect_upwind()
+    spec.set_BC()
+    cfg_j = make_cfg()
+    cfg_s = tv.SimConfig(
+        grid=tv.Grid2D(NX, NY),
+        num=tv.Numerics(pressure_solver="rbsor", sor_tol=1e-6, sor_max_iter=2000),
+    )
+    args = tuple(jnp.asarray(a) for a in (spec.p, spec.u_star, spec.v_star, spec.rho))
+    rhs = divergence_rhs(cfg_j.grid, cfg_j.num, args[1], args[2], args[3])
+    rhs0 = rhs - jnp.mean(rhs)  # solvable part (rbsor solves against this)
+    p_j = solve_pressure(cfg_j.grid, cfg_j.num, *args)
+    p_s = solve_pressure(cfg_s.grid, cfg_s.num, *args)
+    r_j = float(residual(cfg_j.grid, p_j, rhs0, project_nullspace=False))
+    r_s = float(residual(cfg_s.grid, p_s, rhs0, project_nullspace=False))
+    assert r_s < 1e-5 * r_j, (r_j, r_s)
+
+    # full solver remains bounded with the rbsor pressure solve
+    state = tv.init_state(cfg_s, ic=1)
+    state = tv.simulate(cfg_s, state, 20)
+    F = np.asarray(state.F)
+    assert np.isfinite(F).all() and F.min() >= 0 and F.max() <= 1

@@ -36,6 +36,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--dt", type=float, default=4e-6)
     p.add_argument("--jacobi", type=int, default=10, help="pressure iterations per step")
+    p.add_argument("--backend", choices=["xla", "pallas"], default="xla",
+                   help="step implementation: pure-XLA or fused Pallas kernels")
+    p.add_argument("--pressure-solver", choices=["jacobi", "rbsor"],
+                   default="jacobi", dest="pressure_solver",
+                   help="jacobi = reference-parity fixed sweeps; rbsor = "
+                        "residual-driven red-black SOR upgrade")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of the run to this dir")
     # output
     p.add_argument("--frame-every", type=int, default=100, dest="frame_every",
                    help="steps between frames (reference nstep, 2dvof.py:497)")
@@ -185,7 +193,9 @@ def main(argv=None) -> int:
     ny = args.ny or args.nx
     cfg = tv.SimConfig(
         grid=tv.Grid2D(args.nx, ny).validate(),
-        num=tv.Numerics(dt=args.dt, n_jacobi=args.jacobi),
+        num=tv.Numerics(dt=args.dt, n_jacobi=args.jacobi,
+                        backend=args.backend,
+                        pressure_solver=args.pressure_solver),
     )
 
     istep = 0
@@ -205,6 +215,11 @@ def main(argv=None) -> int:
 
     vis_idx = MODES.index(args.view)
     target_step = istep + args.steps
+    profile_cm = None
+    if args.profile_dir:
+        from .utils import trace
+        profile_cm = trace(args.profile_dir)
+        profile_cm.__enter__()
     t0 = time.time()
     while istep < target_step:
         n = min(args.frame_every, target_step - istep)
@@ -246,6 +261,9 @@ def main(argv=None) -> int:
             print(f">>> checkpoint saved: {path}")
 
     wall = time.time() - t0
+    if profile_cm is not None:
+        profile_cm.__exit__(None, None, None)
+        print(f">>> profiler trace written to {args.profile_dir}")
     cups = cfg.grid.nx * cfg.grid.ny * args.steps / wall
     print(f">>> {args.steps} steps in {wall:.2f}s "
           f"({cups:.3e} cell-updates/s incl. frame I/O)")

@@ -83,6 +83,16 @@ class Numerics:
     # (diff_vof.py semantics); 'selfadjoint' installs the hand-written
     # adjoint mirroring diff_vof_replaced.py:303-330.
     pressure_adjoint: str = "unrolled"
+    # 'xla' = pure-jnp step; 'pallas' = fused VMEM-resident phase kernels
+    # (forward solver only; the differentiable path stays on 'xla').
+    backend: str = "xla"
+    # 'jacobi' = the reference's fixed-iteration sweep; 'rbsor' = red-black
+    # SOR iterated to an on-device residual tolerance (upgrade path; not
+    # differentiable).
+    pressure_solver: str = "jacobi"
+    sor_omega: float = 1.7
+    sor_tol: float = 1e-3
+    sor_max_iter: int = 200
 
 
 @dataclass(frozen=True)

@@ -58,6 +58,57 @@ def interior(a):
     return a[tuple(slice(1, -1) for _ in range(a.ndim))]
 
 
+def embed2(x, lo0: int, hi0: int, lo1: int, hi1: int):
+    """Embed a 2-D block into a larger array padded with zeros: lo/hi give
+    the number of zero rows/cols added on each side.
+
+    Implemented with concatenation instead of ``.at[...].set`` so the same
+    expression lowers inside Pallas TPU kernels (Mosaic has no scatter /
+    dynamic_update_slice); XLA produces identical values either way.
+    """
+    d = x.dtype
+    if lo0 or hi0:
+        parts = []
+        if lo0:
+            parts.append(jnp.zeros((lo0, x.shape[1]), d))
+        parts.append(x)
+        if hi0:
+            parts.append(jnp.zeros((hi0, x.shape[1]), d))
+        x = jnp.concatenate(parts, axis=0)
+    if lo1 or hi1:
+        parts = []
+        if lo1:
+            parts.append(jnp.zeros((x.shape[0], lo1), d))
+        parts.append(x)
+        if hi1:
+            parts.append(jnp.zeros((x.shape[0], hi1), d))
+        x = jnp.concatenate(parts, axis=1)
+    return x
+
+
+def merge_interior(full, interior_val):
+    """Replace the interior of ``full`` with ``interior_val`` (ghosts kept),
+    without partial-update primitives (Pallas-compatible)."""
+    import jax
+
+    n0, n1 = full.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (n0, n1), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n0, n1), 1)
+    mask = (row >= 1) & (row <= n0 - 2) & (col >= 1) & (col <= n1 - 2)
+    return jnp.where(mask, embed2(interior_val, 1, 1, 1, 1), full)
+
+
+def merge_region(full, val, r0: int, r1: int, c0: int, c1: int):
+    """Replace full[r0:r1, c0:c1] with ``val`` (Pallas-compatible)."""
+    import jax
+
+    n0, n1 = full.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (n0, n1), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n0, n1), 1)
+    mask = (row >= r0) & (row < r1) & (col >= c0) & (col < c1)
+    return jnp.where(mask, embed2(val, r0, n0 - r1, c0, n1 - c1), full)
+
+
 def set_interior(a, values):
     """Return a copy of ``a`` with its interior replaced."""
     return a.at[tuple(slice(1, -1) for _ in range(a.ndim))].set(values)

@@ -30,7 +30,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..config import FCTVariant, Numerics
-from .common import clamp01
+from .common import clamp01, embed2, merge_interior
 from ..grid import Grid2D
 
 __all__ = ["fct_sweep_x", "fct_sweep_y", "rudman_advect"]
@@ -60,7 +60,7 @@ def _sweep_axis0(dx: float, dy: float, dt: float, var: FCTVariant, F, u, sync=No
     fL = uf * dt * jnp.where(uf >= 0, F_up, F_dn)  # upwind (low order)
     fH = uf * dt * jnp.where(uf <= 0, F_up, F_dn)  # downwind (high order)
     a_int = fH - fL  # anti-diffusive face flux
-    a = jnp.zeros_like(F).at[1:, 1:-1].set(a_int)
+    a = embed2(a_int, 1, 0, 1, 1)
 
     # ---- pass 1: low-order transported & diffused value ----
     F_c = F[1:-1, 1:-1]
@@ -73,7 +73,7 @@ def _sweep_axis0(dx: float, dy: float, dt: float, var: FCTVariant, F, u, sync=No
         ftd_int = F_c + netflux * dx * dy / dv
     if var.clamp:
         ftd_int = clamp01(ftd_int)
-    Ftd = jnp.zeros_like(F).at[1:-1, 1:-1].set(ftd_int)
+    Ftd = embed2(ftd_int, 1, 1, 1, 1)
     if sync is not None:
         Ftd = sync(Ftd)
         ftd_int = Ftd[1:-1, 1:-1]
@@ -95,8 +95,8 @@ def _sweep_axis0(dx: float, dy: float, dt: float, var: FCTVariant, F, u, sync=No
     den_m = jnp.where(pm > var.guard_eps, pm + var.denom_eps, 1.0)
     rm_int = jnp.where(pm > var.guard_eps, jnp.minimum(1.0, qm / den_m), 0.0)
 
-    rp = jnp.zeros_like(F).at[1:-1, 1:-1].set(rp_int)
-    rm = jnp.zeros_like(F).at[1:-1, 1:-1].set(rm_int)
+    rp = embed2(rp_int, 1, 1, 1, 1)
+    rm = embed2(rm_int, 1, 1, 1, 1)
     if sync is not None:
         rp = sync(rp)
         rm = sync(rm)
@@ -116,14 +116,14 @@ def _sweep_axis0(dx: float, dy: float, dt: float, var: FCTVariant, F, u, sync=No
         jnp.minimum(rp[1:, 1:-1], rm_pad),
         jnp.minimum(rp_pad, rm[1:, 1:-1]),
     )
-    c = jnp.zeros_like(F).at[1:, 1:-1].set(c_int)
+    c = embed2(c_int, 1, 0, 1, 1)
 
     # ---- pass 4: apply limited anti-diffusion ----
     corr = (a[2:, 1:-1] * c[2:, 1:-1] - a[1:-1, 1:-1] * c[1:-1, 1:-1]) / dy
     f_new = ftd_int - corr * dx * dy / dv
     if var.clamp:
         f_new = clamp01(f_new)
-    return F.at[1:-1, 1:-1].set(f_new)
+    return merge_interior(F, f_new)
 
 
 def fct_sweep_x(g: Grid2D, nm: Numerics, F, u, var: FCTVariant | None = None, sync=None):

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..config import Fluid, Numerics
 from ..grid import Grid2D
-from .common import win
+from .common import win, embed2, merge_region
 
 __all__ = [
     "predict_velocity",
@@ -81,8 +81,8 @@ def predict_velocity(g: Grid2D, fl: Fluid, nm: Numerics, u, v, F, rho, nu, kappa
     """Serial (u_star, v_star): zero everywhere except the reference ranges
     (wall-face entries stay 0 = the no-penetration values, 2dvof.py:208,221)."""
     us, vs = predict_velocity_interior(g, fl, nm, u, v, F, rho, nu, kappa)
-    u_star = jnp.zeros_like(u).at[2 : g.nx + 1, 1 : g.ny + 1].set(us[1:, :])
-    v_star = jnp.zeros_like(v).at[1 : g.nx + 1, 2 : g.ny + 1].set(vs[:, 1:])
+    u_star = embed2(us[1:, :], 2, 1, 1, 1)
+    v_star = embed2(vs[:, 1:], 1, 1, 2, 1)
     return u_star, v_star
 
 
@@ -111,6 +111,6 @@ def update_velocity(g: Grid2D, nm: Numerics, u_prev, v_prev, u_star, v_star, p, 
     The reference's in-kernel Courant warning prints (2dvof.py:274-280)
     become the device-side metric metrics.cfl_numbers."""
     u_int, v_int = correct_velocity_interior(g, nm, u_star, v_star, p, rho)
-    u = u_prev.at[2 : g.nx + 1, 1 : g.ny + 1].set(u_int[1:, :])
-    v = v_prev.at[1 : g.nx + 1, 2 : g.ny + 1].set(v_int[:, 1:])
+    u = merge_region(u_prev, u_int[1:, :], 2, g.nx + 1, 1, g.ny + 1)
+    v = merge_region(v_prev, v_int[:, 1:], 1, g.nx + 1, 2, g.ny + 1)
     return u, v

@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..grid import Grid2D
-from .common import win
+from .common import win, embed2
 
 __all__ = ["young_normals_curvature"]
 
@@ -53,8 +53,8 @@ def young_normals_curvature(g: Grid2D, F):
     mx_int = jnp.where(degenerate, mxsum, mxsum / safe_mag)
     my_int = jnp.where(degenerate, mysum, mysum / safe_mag)
 
-    mx = jnp.zeros_like(F).at[1:-1, 1:-1].set(mx_int)
-    my = jnp.zeros_like(F).at[1:-1, 1:-1].set(my_int)
+    mx = embed2(mx_int, 1, 1, 1, 1)
+    my = embed2(my_int, 1, 1, 1, 1)
 
     # kappa = -div(m-hat) by central differences (reference 2dvof.py:307-309);
     # reads the ghost-zero normal field at the domain edge, as the reference
@@ -63,5 +63,5 @@ def young_normals_curvature(g: Grid2D, F):
         inv2dx * (win(mx, ri, rj, 1, 0) - win(mx, ri, rj, -1, 0))
         + inv2dy * (win(my, ri, rj, 0, 1) - win(my, ri, rj, 0, -1))
     )
-    kappa = jnp.zeros_like(F).at[1:-1, 1:-1].set(kap_int)
+    kappa = embed2(kap_int, 1, 1, 1, 1)
     return mx, my, kappa

@@ -123,8 +123,88 @@ _jacobi_selfadjoint.defvjp(_jacobi_sa_fwd, _jacobi_sa_bwd)
 
 
 def solve_pressure(g: Grid2D, nm: Numerics, p, u_star, v_star, rho):
-    """Full pressure solve: rhs assembly + n_jacobi fixed iterations."""
+    """Full pressure solve: rhs assembly + the configured iteration."""
     rhs = divergence_rhs(g, nm, u_star, v_star, rho)
+    if nm.pressure_solver == "rbsor":
+        return _rbsor(g, nm, p, rhs)
     if nm.pressure_adjoint == "selfadjoint":
         return _jacobi_selfadjoint(g, nm.n_jacobi, p, rhs)
     return _jacobi_sweeps(g, nm.n_jacobi, p, rhs)
+
+
+def residual(g: Grid2D, p, rhs, project_nullspace: bool = True):
+    """max |A p - rhs| over the interior (the convergence measure the
+    reference never computes — SURVEY.md §2.5.1).
+
+    The pure-Neumann operator is singular (constant nullspace): an
+    incompatible rhs (nonzero mean) leaves an irreducible residual component
+    no iteration can remove. With ``project_nullspace`` the mean is
+    subtracted first so the measure reflects only the solvable part — this
+    is what the RB-SOR stopping test uses.
+    """
+    ae, aw, an, a_s, ap_inv = poisson_coefficients(g, p.dtype)
+    ri = (1, g.nx + 1)
+    rj = (1, g.ny + 1)
+    ap = 1.0 / ap_inv
+    r = (
+        rhs
+        - ae * win(p, ri, rj, 1, 0)
+        - aw * win(p, ri, rj, -1, 0)
+        - an * win(p, ri, rj, 0, 1)
+        - a_s * win(p, ri, rj, 0, -1)
+        - ap * win(p, ri, rj)
+    )
+    if project_nullspace:
+        r = r - jnp.mean(r)
+    return jnp.max(jnp.abs(r))
+
+
+def _rbsor(g: Grid2D, nm: Numerics, p, rhs):
+    """Red-black successive over-relaxation with an on-device residual stop.
+
+    An upgrade path over the reference's fixed 10 Jacobi sweeps
+    (2dvof.py:521-522, which leave an O(1) divergence residual): each RB-SOR
+    iteration converges like ~2 Jacobi iterations at omega≈1.7, and the
+    `lax.while_loop` exits as soon as max|Ap - rhs| <= sor_tol — all on
+    device, no host sync. Not differentiable (while_loop); the diff path
+    keeps the fixed-iteration solvers.
+    """
+    # The pure-Neumann system only has a solution for a mean-free rhs; the
+    # physical rhs carries a small incompatibility (net divergence is not
+    # exactly zero), which would both stall the iteration at a floor and
+    # defeat the residual stop. Solving against the projected rhs is the
+    # standard treatment (pressure is defined up to a constant anyway).
+    # The reference-parity 'jacobi' mode deliberately does NOT do this.
+    rhs = rhs - jnp.mean(rhs)
+    ae, aw, an, a_s, ap_inv = poisson_coefficients(g, p.dtype)
+    ri = (1, g.nx + 1)
+    rj = (1, g.ny + 1)
+    col = np.arange(g.nx)[:, None]
+    row = np.arange(g.ny)[None, :]
+    red = ((col + row) % 2 == 0)
+    omega = nm.sor_omega
+
+    def half_sweep(p, mask):
+        gs = (
+            rhs
+            - ae * win(p, ri, rj, 1, 0)
+            - aw * win(p, ri, rj, -1, 0)
+            - an * win(p, ri, rj, 0, 1)
+            - a_s * win(p, ri, rj, 0, -1)
+        ) * ap_inv
+        p_int = win(p, ri, rj)
+        upd = p_int + omega * (gs - p_int)
+        return p.at[1:-1, 1:-1].set(jnp.where(mask, upd, p_int))
+
+    def cond(carry):
+        p, it = carry
+        return (it < nm.sor_max_iter) & (residual(g, p, rhs) > nm.sor_tol)
+
+    def body(carry):
+        p, it = carry
+        p = half_sweep(p, red)
+        p = half_sweep(p, ~red)
+        return p, it + 1
+
+    p, _ = jax.lax.while_loop(cond, body, (p, jnp.zeros((), jnp.int32)))
+    return p

@@ -1,0 +1,369 @@
+"""Fused phase kernels. See package docstring for the design.
+
+Each `pl.pallas_call` takes whole (nx+2, ny+2) fields in VMEM with no grid
+(one program instance): at the benchmark sizes (<= ~1024^2 f32) the working
+set fits VMEM, every intermediate lives on-chip, and HBM traffic collapses
+to the kernel's declared inputs/outputs. `interpret=` mode makes the same
+kernels runnable on CPU for tests.
+
+Mosaic (this jax version) supports neither scatter / dynamic_update_slice
+nor shape-growing concatenate/pad on sliced operands, so the kernel bodies
+are written in *full-shape roll+mask* form: every intermediate keeps the
+padded field shape, neighbor access is `jnp.roll` (the wrap-around junk
+only ever lands in ghost positions that the region masks zero out or that
+no consumer reads), and region writes are `where` selects on iota masks.
+The formulas mirror ops/fct.py and ops/momentum.py one-for-one; equivalence
+against the XLA path is pinned by tests/test_pallas.py.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import FCTVariant, SimConfig
+from ..grid import Grid2D
+from ..ops import mix_properties
+from ..ops.common import clamp01
+from ..ops.momentum import correct_velocity_interior
+
+__all__ = [
+    "pallas_available",
+    "project_pressure_and_correct",
+    "pallas_fct_sweep_x",
+    "pallas_fct_sweep_y",
+    "pallas_predict",
+]
+
+
+def pallas_available() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+def _vmem_specs(n):
+    return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n)]
+
+
+def _compiler_params(F, n_live: int):
+    """Raise Mosaic's conservative VMEM cap to fit the kernel's live set
+    (n_live full-field temporaries, padded to the (8,128) tile grid)."""
+    n0 = ((F.shape[0] + 7) // 8) * 8
+    n1 = ((F.shape[1] + 127) // 128) * 128
+    need = n_live * n0 * n1 * F.dtype.itemsize
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(max(need, 16 * 2**20), 110 * 2**20)
+    )
+
+
+def _iota(shape, axis):
+    return lax.broadcasted_iota(jnp.int32, shape, axis)
+
+
+def _sh(x, di=0, dj=0):
+    """x[i+di, j+dj] with wrap-around; callers mask the wrapped junk."""
+    if di:
+        x = jnp.roll(x, -di, axis=0)
+    if dj:
+        x = jnp.roll(x, -dj, axis=1)
+    return x
+
+
+def _region(shape, r0, r1, c0, c1):
+    row = _iota(shape, 0)
+    col = _iota(shape, 1)
+    return (row >= r0) & (row < r1) & (col >= c0) & (col < c1)
+
+
+def _inline_poisson_coeffs(g: Grid2D, dtype):
+    """The Neumann-edge-zeroed 5-point coefficients, built in-kernel from
+    iota masks (no HBM inputs). Bitwise identical to
+    ops.poisson.poisson_coefficients: the edge-dependent ap_inv values are
+    precomputed as float64 Python scalars and cast, matching the f64-then-
+    cast array construction; TPU kernels cannot do f64 arithmetic, so the
+    selection happens between ready-made constants."""
+    col = _iota((g.nx, g.ny), 0)
+    row = _iota((g.nx, g.ny), 1)
+    east = col == g.nx - 1
+    west = col == 0
+    north = row == g.ny - 1
+    south = row == 0
+
+    dxi2 = np.float64(g.dxi) ** 2
+    dyi2 = np.float64(g.dyi) ** 2
+    zero = jnp.zeros((), dtype)
+    ae = jnp.where(east, zero, jnp.asarray(dxi2, dtype))
+    aw = jnp.where(west, zero, jnp.asarray(dxi2, dtype))
+    an = jnp.where(north, zero, jnp.asarray(dyi2, dtype))
+    a_s = jnp.where(south, zero, jnp.asarray(dyi2, dtype))
+
+    def c(nx_edges, ny_edges):
+        # replicate ((ae+aw)+an)+a_s accumulation order exactly (adding a
+        # zeroed edge coefficient is exact, so only the nonzero adds count)
+        t = dxi2 if nx_edges else dxi2 + dxi2
+        for _ in range(2 - ny_edges):
+            t = t + dyi2
+        return jnp.asarray(-1.0 / t, dtype)
+
+    x_edge = east | west
+    y_edge = north | south
+    ap_inv = jnp.where(
+        x_edge,
+        jnp.where(y_edge, c(1, 1), c(1, 0)),
+        jnp.where(y_edge, c(0, 1), c(0, 0)),
+    )
+    return ae, aw, an, a_s, ap_inv
+
+
+# ----------------------------------------------------------------------
+# Fused projection: rho -> rhs -> N Jacobi iterations -> velocity correction
+# (2dvof.py:236-280 as one kernel; the reference launches 12 kernels here)
+# ----------------------------------------------------------------------
+def _project_kernel(F_ref, us_ref, vs_ref, p_ref, u_ref, v_ref,
+                    p_out, u_out, v_out, *, cfg: SimConfig):
+    g, fl, nm = cfg.grid, cfg.fluid, cfg.num
+    F = F_ref[:]
+    us = us_ref[:]
+    vs = vs_ref[:]
+
+    rho, _ = mix_properties(fl, F)
+    rhs = (
+        rho[1:-1, 1:-1]
+        / nm.dt
+        * (
+            (us[2:, 1:-1] - us[1:-1, 1:-1]) * g.dxi
+            + (vs[1:-1, 2:] - vs[1:-1, 1:-1]) * g.dyi
+        )
+    )
+    ae, aw, an, a_s, ap_inv = _inline_poisson_coeffs(g, p_ref.dtype)
+
+    # Jacobi iterations mutate the output ref in place: the VMEM-resident
+    # Pallas idiom (no value-level partial updates in Mosaic).
+    p_out[:] = p_ref[:]
+
+    def body(_, carry):
+        p_int = (
+            rhs
+            - ae * p_out[2:, 1:-1]
+            - aw * p_out[:-2, 1:-1]
+            - an * p_out[1:-1, 2:]
+            - a_s * p_out[1:-1, :-2]
+        ) * ap_inv
+        p_out[1:-1, 1:-1] = p_int
+        return carry
+
+    lax.fori_loop(0, nm.n_jacobi, body, 0, unroll=True)
+
+    u_int, v_int = correct_velocity_interior(g, nm, us, vs, p_out[:], rho)
+    u_out[:] = u_ref[:]
+    v_out[:] = v_ref[:]
+    u_out[2 : g.nx + 1, 1 : g.ny + 1] = u_int[1:, :]
+    v_out[1 : g.nx + 1, 2 : g.ny + 1] = v_int[:, 1:]
+
+
+def project_pressure_and_correct(cfg: SimConfig, F, u_star, v_star, p, u, v,
+                                 interpret: bool = False):
+    """Returns (p', u', v'): the full pressure projection phase."""
+    shape = jax.ShapeDtypeStruct(p.shape, p.dtype)
+    return pl.pallas_call(
+        partial(_project_kernel, cfg=cfg),
+        out_shape=(shape, shape, shape),
+        in_specs=_vmem_specs(6),
+        out_specs=tuple(_vmem_specs(3)),
+        compiler_params=_compiler_params(F, 24),
+        interpret=interpret,
+    )(F, u_star, v_star, p, u, v)
+
+
+# ----------------------------------------------------------------------
+# Fused FCT sweeps: the whole 4-pass sweep as one kernel (2dvof.py:321-448)
+# in full-shape roll+mask form (mirrors ops/fct._sweep_axis0 exactly).
+# ----------------------------------------------------------------------
+def _sweep_kernel(F_ref, vel_ref, out_ref, *, dx, dy, dt,
+                  var: FCTVariant, axis: int):
+    F = F_ref[:]
+    u = vel_ref[:]
+    shape = F.shape
+    n = shape[axis]
+
+    def sh(x, d):
+        return _sh(x, d, 0) if axis == 0 else _sh(x, 0, d)
+
+    idx = _iota(shape, axis)
+    odx = _iota(shape, 1 - axis)
+    o_int = (odx >= 1) & (odx <= shape[1 - axis] - 2)
+    interior = (idx >= 1) & (idx <= n - 2) & o_int
+    face = (idx >= 1) & o_int  # faces 1 .. n0+1
+
+    # face fluxes (upwind low-order, downwind high-order donors)
+    F_up = sh(F, -1)  # donor below the face
+    fL = u * dt * jnp.where(u >= 0, F_up, F)
+    fH = u * dt * jnp.where(u <= 0, F_up, F)
+    a = jnp.where(face, fH - fL, 0.0)
+
+    # pass 1: transported & diffused value with divergence compensation
+    dv = dx * dy - dt * dy * (sh(u, 1) - u)
+    netflux = (fL - sh(fL, 1)) * dy / (dx * dy)
+    if var.full_dv:
+        ftd = (F + netflux) * dx * dy / dv
+    else:
+        ftd = F + netflux * dx * dy / dv
+    if var.clamp:
+        ftd = clamp01(ftd)
+    Ftd = jnp.where(interior, ftd, 0.0)
+
+    # pass 2: Zalesak limiter ratios against local extrema of Ftd
+    fmax = jnp.maximum(Ftd, jnp.maximum(sh(Ftd, -1), sh(Ftd, 1)))
+    fmin = jnp.minimum(Ftd, jnp.minimum(sh(Ftd, -1), sh(Ftd, 1)))
+    a_hi = sh(a, 1)
+    pp = jnp.maximum(0.0, a) - jnp.minimum(0.0, a_hi)
+    qp = (fmax - Ftd) * dx
+    den_p = jnp.where(pp > var.guard_eps, pp + var.denom_eps, 1.0)
+    rp = jnp.where(
+        interior & (pp > var.guard_eps), jnp.minimum(1.0, qp / den_p), 0.0
+    )
+    pm = jnp.maximum(0.0, a_hi) - jnp.minimum(0.0, a)
+    qm = (Ftd - fmin) * dx
+    den_m = jnp.where(pm > var.guard_eps, pm + var.denom_eps, 1.0)
+    rm = jnp.where(
+        interior & (pm > var.guard_eps), jnp.minimum(1.0, qm / den_m), 0.0
+    )
+
+    # pass 3: corrected flux factor per face
+    c = jnp.where(
+        face,
+        jnp.where(
+            a >= 0,
+            jnp.minimum(rp, sh(rm, -1)),
+            jnp.minimum(sh(rp, -1), rm),
+        ),
+        0.0,
+    )
+
+    # pass 4: apply limited anti-diffusion
+    corr = (sh(a, 1) * sh(c, 1) - a * c) / dy
+    f_new = Ftd - corr * dx * dy / dv
+    if var.clamp:
+        f_new = clamp01(f_new)
+    out_ref[:] = jnp.where(interior, f_new, F)
+
+
+def _pallas_sweep(dx, dy, dt, var, F, vel, axis, interpret):
+    return pl.pallas_call(
+        partial(_sweep_kernel, dx=dx, dy=dy, dt=dt, var=var, axis=axis),
+        out_shape=jax.ShapeDtypeStruct(F.shape, F.dtype),
+        in_specs=_vmem_specs(2),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=_compiler_params(F, 24),
+        interpret=interpret,
+    )(F, vel)
+
+
+def pallas_fct_sweep_x(cfg: SimConfig, F, u, interpret: bool = False):
+    g, nm = cfg.grid, cfg.num
+    return _pallas_sweep(g.dx, g.dy, nm.dt, nm.fct, F, u, 0, interpret)
+
+
+def pallas_fct_sweep_y(cfg: SimConfig, F, v, interpret: bool = False):
+    g, nm = cfg.grid, cfg.num
+    # square cells: the y-sweep is the axis-1 instance of the same kernel,
+    # including the reference's dx-scaled limiter numerators (2dvof.py:417)
+    return _pallas_sweep(g.dy, g.dx, nm.dt, nm.fct, F, v, 1, interpret)
+
+
+# ----------------------------------------------------------------------
+# Fused predictor: materials + Youngs normals + curvature + momentum
+# (2dvof.py:198-233 + 283-309 as one kernel), roll+mask form.
+# ----------------------------------------------------------------------
+def _predict_kernel(u_ref, v_ref, F_ref, us_out, vs_out, *, cfg: SimConfig):
+    g, fl, nm = cfg.grid, cfg.fluid, cfg.num
+    F = F_ref[:]
+    u = u_ref[:]
+    v = v_ref[:]
+    shape = F.shape
+    dt = nm.dt
+    dxi, dyi = g.dxi, g.dyi
+    rho, nu = mix_properties(fl, F)
+
+    interior = _region(shape, 1, g.nx + 1, 1, g.ny + 1)
+
+    # ---- Youngs corner gradients (full shape; junk masked) ----
+    inv2dx = 1.0 / (2.0 * g.dx)
+    inv2dy = 1.0 / (2.0 * g.dy)
+
+    def f(di, dj):
+        return _sh(F, di, dj)
+
+    mx1 = -inv2dx * (f(1, 1) + f(1, 0) - f(0, 1) - f(0, 0))
+    my1 = -inv2dy * (f(1, 1) - f(1, 0) + f(0, 1) - f(0, 0))
+    mx2 = -inv2dx * (f(1, 0) + f(1, -1) - f(0, 0) - f(0, -1))
+    my2 = -inv2dy * (f(1, 0) - f(1, -1) + f(0, 0) - f(0, -1))
+    mx3 = -inv2dx * (f(0, 0) + f(0, -1) - f(-1, 0) - f(-1, -1))
+    my3 = -inv2dy * (f(0, 0) - f(0, -1) + f(-1, 0) - f(-1, -1))
+    mx4 = -inv2dx * (f(0, 1) + f(0, 0) - f(-1, 1) - f(-1, 0))
+    my4 = -inv2dy * (f(0, 1) - f(0, 0) + f(-1, 1) - f(-1, 0))
+    mxsum = (mx1 + mx2 + mx3 + mx4) * 0.25
+    mysum = (my1 + my2 + my3 + my4) * 0.25
+
+    degenerate = (jnp.abs(mxsum) < 1e-10) & (jnp.abs(mysum) < 1e-10)
+    mag_sq = mxsum * mxsum + mysum * mysum
+    safe_mag = jnp.sqrt(jnp.where(degenerate, 1.0, mag_sq))
+    mx = jnp.where(interior, jnp.where(degenerate, mxsum, mxsum / safe_mag), 0.0)
+    my = jnp.where(interior, jnp.where(degenerate, mysum, mysum / safe_mag), 0.0)
+
+    kappa = jnp.where(
+        interior,
+        -(
+            inv2dx * (_sh(mx, 1, 0) - _sh(mx, -1, 0))
+            + inv2dy * (_sh(my, 0, 1) - _sh(my, 0, -1))
+        ),
+        0.0,
+    )
+
+    # ---- momentum predictor (mirrors ops/momentum.py formulas) ----
+    v_here = 0.25 * (_sh(v, -1, 0) + _sh(v, -1, 1) + v + _sh(v, 0, 1))
+    dudx = jnp.where(u > 0, (u - _sh(u, -1, 0)) * dxi, (_sh(u, 1, 0) - u) * dxi)
+    dudy = jnp.where(v_here > 0, (u - _sh(u, 0, -1)) * dyi, (_sh(u, 0, 1) - u) * dyi)
+    kap_u = (kappa + _sh(kappa, -1, 0)) * 0.5
+    fx_kappa = -fl.sigma * (F - _sh(F, -1, 0)) * kap_u / g.dx
+    us = u + dt * (
+        nu * (_sh(u, -1, 0) - 2.0 * u + _sh(u, 1, 0)) * dxi**2
+        + nu * (_sh(u, 0, -1) - 2.0 * u + _sh(u, 0, 1)) * dyi**2
+        - u * dudx
+        - v_here * dudy
+        + fl.gx
+        + fx_kappa * 2.0 / (rho + _sh(rho, -1, 0))
+    )
+
+    u_here = 0.25 * (_sh(u, 0, -1) + u + _sh(u, 1, -1) + _sh(u, 1, 0))
+    dvdx = jnp.where(u_here > 0, (v - _sh(v, -1, 0)) * dxi, (_sh(v, 1, 0) - v) * dxi)
+    dvdy = jnp.where(v > 0, (v - _sh(v, 0, -1)) * dyi, (_sh(v, 0, 1) - v) * dyi)
+    kap_v = (kappa + _sh(kappa, 0, -1)) * 0.5
+    fy_kappa = -fl.sigma * (F - _sh(F, 0, -1)) * kap_v / g.dy
+    vs = v + dt * (
+        nu * (_sh(v, -1, 0) - 2.0 * v + _sh(v, 1, 0)) * dxi**2
+        + nu * (_sh(v, 0, -1) - 2.0 * v + _sh(v, 0, 1)) * dyi**2
+        - u_here * dvdx
+        - v * dvdy
+        + fl.gy
+        + fy_kappa * 2.0 / (rho + _sh(rho, 0, -1))
+    )
+
+    us_out[:] = jnp.where(_region(shape, 2, g.nx + 1, 1, g.ny + 1), us, 0.0)
+    vs_out[:] = jnp.where(_region(shape, 1, g.nx + 1, 2, g.ny + 1), vs, 0.0)
+
+
+def pallas_predict(cfg: SimConfig, u, v, F, interpret: bool = False):
+    shape = jax.ShapeDtypeStruct(F.shape, F.dtype)
+    return pl.pallas_call(
+        partial(_predict_kernel, cfg=cfg),
+        out_shape=(shape, shape),
+        in_specs=_vmem_specs(3),
+        out_specs=tuple(_vmem_specs(2)),
+        compiler_params=_compiler_params(F, 28),
+        interpret=interpret,
+    )(u, v, F)

@@ -44,6 +44,8 @@ def step(cfg: SimConfig, state: State, even_step: bool) -> State:
     """One full time step. ``even_step`` is a Python bool: the sweep order is
     a compile-time schedule (two specializations exist inside the scanned
     pair; there is no data-dependent branching)."""
+    if cfg.num.backend == "pallas":
+        return _step_pallas(cfg, state, even_step)
     g, fl, nm = cfg.grid, cfg.fluid, cfg.num
     F, u, v, p = state
 
@@ -64,6 +66,44 @@ def step(cfg: SimConfig, state: State, even_step: bool) -> State:
     F = clamp01(F)  # post_process_f (2dvof.py:452-455)
     u, v, F, p, _ = apply_bc(u, v, F, p, rho)
 
+    return State(F=F, u=u, v=v, p=p)
+
+
+def _step_pallas(cfg: SimConfig, state: State, even_step: bool,
+                 interpret: bool | None = None) -> State:
+    """Same pipeline with the three fused Pallas phase kernels. The BC
+    applications between phases stay as (cheap, XLA-fused) array updates;
+    rho's ghost mirror is a no-op because rho is re-derived from the
+    BC-mirrored F inside each kernel."""
+    from .pallas_kernels import (
+        pallas_available,
+        pallas_fct_sweep_x,
+        pallas_fct_sweep_y,
+        pallas_predict,
+        project_pressure_and_correct,
+    )
+
+    if interpret is None:
+        interpret = not pallas_available()
+    g, nm = cfg.grid, cfg.num
+    F, u, v, p = state
+
+    u_star, v_star = pallas_predict(cfg, u, v, F, interpret=interpret)
+    u, v, F, p = apply_bc(u, v, F, p)
+
+    p, u, v = project_pressure_and_correct(
+        cfg, F, u_star, v_star, p, u, v, interpret=interpret
+    )
+    u, v, F, p = apply_bc(u, v, F, p)
+
+    if even_step:
+        F = pallas_fct_sweep_y(cfg, F, v, interpret=interpret)
+        F = pallas_fct_sweep_x(cfg, F, u, interpret=interpret)
+    else:
+        F = pallas_fct_sweep_x(cfg, F, u, interpret=interpret)
+        F = pallas_fct_sweep_y(cfg, F, v, interpret=interpret)
+    F = clamp01(F)
+    u, v, F, p = apply_bc(u, v, F, p)
     return State(F=F, u=u, v=v, p=p)
 
 
