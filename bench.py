@@ -49,10 +49,11 @@ def main():
     n_steps = 1000
     results = {"xla": run_backend(tv, n, n_steps, "xla")}
     if jax.default_backend() != "cpu":
-        try:
-            results["pallas"] = run_backend(tv, n, n_steps, "pallas")
-        except Exception:
-            pass  # fused kernels unavailable on this backend/version
+        for backend in ("pallas", "pallas_mono"):
+            try:
+                results[backend] = run_backend(tv, n, n_steps, backend)
+            except Exception:
+                pass  # fused kernels unavailable on this backend/version
     backend = min(results, key=results.get)
     best = results[backend]
     cups = n * n * n_steps / best

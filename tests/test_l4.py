@@ -132,3 +132,16 @@ def test_cli_rejects_mismatched_resume(tmp_path, small_run):
     rc = cli.main(["--resume", path, "--nx", "64", "--steps", "2",
                    "--outdir", str(tmp_path)])
     assert rc == 2
+
+
+def test_vector_field_segments(small_run):
+    from tpuvof.viz import vector_field_segments
+
+    cfg, state = small_run
+    V = np.asarray(interp_velocity(cfg, state))
+    begin, end, heads = vector_field_segments(V, arrow_spacing=4)
+    assert begin.shape == end.shape and heads.shape == (len(begin), 3, 2)
+    # arrowheads sit at the segment ends
+    np.testing.assert_allclose(heads[:, 0], end, atol=1e-12)
+    # all coordinates inside the unit frame (no runaway scaling)
+    assert begin.min() >= 0 and begin.max() <= 1

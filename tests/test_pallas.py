@@ -51,3 +51,19 @@ def test_backend_flag_dispatches(setup):
     out = step(cfg_p, state, even_step=False)
     ref = step(cfg, state, even_step=False)
     np.testing.assert_allclose(np.asarray(out.F), np.asarray(ref.F), atol=5e-7)
+
+
+def test_fullstep_mono_kernel_matches_lean_step(setup):
+    from tpuvof.solver import _step_pallas_mono
+    from tpuvof.ops import apply_bc
+
+    cfg, state = setup
+    u, v, F, p = apply_bc(state.u, state.v, state.F, state.p)
+    state = tv.State(F=F, u=u, v=v, p=p)
+    tol = {"F": 5e-7, "u": 1e-9, "v": 1e-9, "p": 2e-4}
+    for parity in (False, True):
+        a = step(cfg, state, even_step=parity, lean=True)
+        b = _step_pallas_mono(cfg, state, even_step=parity, interpret=True)
+        for name, x, y in zip(("F", "u", "v", "p"), a, b):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=tol[name], err_msg=name)

@@ -36,8 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--dt", type=float, default=4e-6)
     p.add_argument("--jacobi", type=int, default=10, help="pressure iterations per step")
-    p.add_argument("--backend", choices=["xla", "pallas"], default="xla",
-                   help="step implementation: pure-XLA or fused Pallas kernels")
+    p.add_argument("--backend", choices=["xla", "pallas", "pallas_mono"],
+                   default="xla",
+                   help="step implementation: pure-XLA, fused Pallas phase "
+                        "kernels, or the whole-step Pallas mono-kernel")
     p.add_argument("--pressure-solver", choices=["jacobi", "rbsor"],
                    default="jacobi", dest="pressure_solver",
                    help="jacobi = reference-parity fixed sweeps; rbsor = "

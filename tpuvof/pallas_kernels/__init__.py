@@ -26,6 +26,7 @@ from .step_kernels import (
     pallas_fct_sweep_x,
     pallas_fct_sweep_y,
     pallas_predict,
+    pallas_fullstep,
 )
 
 __all__ = [
@@ -34,4 +35,5 @@ __all__ = [
     "pallas_fct_sweep_x",
     "pallas_fct_sweep_y",
     "pallas_predict",
+    "pallas_fullstep",
 ]

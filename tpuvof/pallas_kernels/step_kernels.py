@@ -183,10 +183,8 @@ def project_pressure_and_correct(cfg: SimConfig, F, u_star, v_star, p, u, v,
 # Fused FCT sweeps: the whole 4-pass sweep as one kernel (2dvof.py:321-448)
 # in full-shape roll+mask form (mirrors ops/fct._sweep_axis0 exactly).
 # ----------------------------------------------------------------------
-def _sweep_kernel(F_ref, vel_ref, out_ref, *, dx, dy, dt,
-                  var: FCTVariant, axis: int):
-    F = F_ref[:]
-    u = vel_ref[:]
+def _sweep_body(dx, dy, dt, var: FCTVariant, axis: int, F, u):
+    """One FCT sweep as a pure value function (full-shape roll+mask form)."""
     shape = F.shape
     n = shape[axis]
 
@@ -249,7 +247,12 @@ def _sweep_kernel(F_ref, vel_ref, out_ref, *, dx, dy, dt,
     f_new = Ftd - corr * dx * dy / dv
     if var.clamp:
         f_new = clamp01(f_new)
-    out_ref[:] = jnp.where(interior, f_new, F)
+    return jnp.where(interior, f_new, F)
+
+
+def _sweep_kernel(F_ref, vel_ref, out_ref, *, dx, dy, dt,
+                  var: FCTVariant, axis: int):
+    out_ref[:] = _sweep_body(dx, dy, dt, var, axis, F_ref[:], vel_ref[:])
 
 
 def _pallas_sweep(dx, dy, dt, var, F, vel, axis, interpret):
@@ -279,11 +282,11 @@ def pallas_fct_sweep_y(cfg: SimConfig, F, v, interpret: bool = False):
 # Fused predictor: materials + Youngs normals + curvature + momentum
 # (2dvof.py:198-233 + 283-309 as one kernel), roll+mask form.
 # ----------------------------------------------------------------------
-def _predict_kernel(u_ref, v_ref, F_ref, us_out, vs_out, *, cfg: SimConfig):
+def _predict_body(cfg: SimConfig, u, v, F):
+    """Materials + Youngs normals + curvature + momentum predictor as a
+    pure value function; returns masked (u_star, v_star) full-shape values
+    plus rho (reused by the projection)."""
     g, fl, nm = cfg.grid, cfg.fluid, cfg.num
-    F = F_ref[:]
-    u = u_ref[:]
-    v = v_ref[:]
     shape = F.shape
     dt = nm.dt
     dxi, dyi = g.dxi, g.dyi
@@ -353,8 +356,15 @@ def _predict_kernel(u_ref, v_ref, F_ref, us_out, vs_out, *, cfg: SimConfig):
         + fy_kappa * 2.0 / (rho + _sh(rho, 0, -1))
     )
 
-    us_out[:] = jnp.where(_region(shape, 2, g.nx + 1, 1, g.ny + 1), us, 0.0)
-    vs_out[:] = jnp.where(_region(shape, 1, g.nx + 1, 2, g.ny + 1), vs, 0.0)
+    us = jnp.where(_region(shape, 2, g.nx + 1, 1, g.ny + 1), us, 0.0)
+    vs = jnp.where(_region(shape, 1, g.nx + 1, 2, g.ny + 1), vs, 0.0)
+    return us, vs, rho
+
+
+def _predict_kernel(u_ref, v_ref, F_ref, us_out, vs_out, *, cfg: SimConfig):
+    us, vs, _ = _predict_body(cfg, u_ref[:], v_ref[:], F_ref[:])
+    us_out[:] = us
+    vs_out[:] = vs
 
 
 def pallas_predict(cfg: SimConfig, u, v, F, interpret: bool = False):
@@ -367,3 +377,116 @@ def pallas_predict(cfg: SimConfig, u, v, F, interpret: bool = False):
         compiler_params=_compiler_params(F, 28),
         interpret=interpret,
     )(u, v, F)
+
+
+# ----------------------------------------------------------------------
+# Whole-step mono-kernel: predict + projection + correction + both FCT
+# sweeps + wall BCs in ONE kernel. HBM traffic per step collapses to the
+# state pytree itself (4 reads + 4 writes).
+# ----------------------------------------------------------------------
+def _bc_values(g: Grid2D, u, v, F, p):
+    """apply_bc as a pure value function in roll+mask form (exact serial
+    corner ordering: j-boundaries first, then i-boundaries reading the
+    updated values)."""
+    shape = u.shape
+    row = _iota(shape, 0)
+    col = _iota(shape, 1)
+    i_hi = shape[0] - 1
+    j_hi = shape[1] - 1
+
+    def mirror_j(a):
+        a = jnp.where(col == 0, _sh(a, 0, 1), a)
+        return jnp.where(col == j_hi, _sh(a, 0, -1), a)
+
+    def mirror_i(a):
+        a = jnp.where(row == 0, _sh(a, 1, 0), a)
+        return jnp.where(row == i_hi, _sh(a, -1, 0), a)
+
+    u = mirror_j(u)
+    v = jnp.where((col == 1) | (col == j_hi), 0.0, v)
+    F = mirror_j(F)
+    p = mirror_j(p)
+
+    u = jnp.where((row == 1) | (row == i_hi), 0.0, u)
+    v = mirror_i(v)
+    F = mirror_i(F)
+    p = mirror_i(p)
+    return u, v, F, p
+
+
+def _fullstep_kernel(F_ref, u_ref, v_ref, p_ref,
+                     F_out, u_out, v_out, p_out,
+                     *, cfg: SimConfig, even_step: bool):
+    g, fl, nm = cfg.grid, cfg.fluid, cfg.num
+    F = F_ref[:]
+    u = u_ref[:]
+    v = v_ref[:]
+    shape = F.shape
+    dt = nm.dt
+
+    # --- predict (includes materials + normals + curvature) ---
+    us, vs, rho = _predict_body(cfg, u, v, F)
+
+    # --- projection: rhs + N Jacobi iterations on the output ref ---
+    rhs = (
+        rho[1:-1, 1:-1]
+        / dt
+        * (
+            (us[2:, 1:-1] - us[1:-1, 1:-1]) * g.dxi
+            + (vs[1:-1, 2:] - vs[1:-1, 1:-1]) * g.dyi
+        )
+    )
+    ae, aw, an, a_s, ap_inv = _inline_poisson_coeffs(g, p_ref.dtype)
+    p_out[:] = p_ref[:]
+
+    def body(_, carry):
+        p_int = (
+            rhs
+            - ae * p_out[2:, 1:-1]
+            - aw * p_out[:-2, 1:-1]
+            - an * p_out[1:-1, 2:]
+            - a_s * p_out[1:-1, :-2]
+        ) * ap_inv
+        p_out[1:-1, 1:-1] = p_int
+        return carry
+
+    lax.fori_loop(0, nm.n_jacobi, body, 0, unroll=True)
+    p = p_out[:]
+
+    # --- velocity correction (full-shape; wall faces keep entry values) ---
+    r_u = (rho + _sh(rho, -1, 0)) * 0.5
+    u_corr = us - dt / r_u * (p - _sh(p, -1, 0)) * g.dxi
+    u = jnp.where(_region(shape, 2, g.nx + 1, 1, g.ny + 1), u_corr, u)
+    r_v = (rho + _sh(rho, 0, -1)) * 0.5
+    v_corr = vs - dt / r_v * (p - _sh(p, 0, -1)) * g.dyi
+    v = jnp.where(_region(shape, 1, g.nx + 1, 2, g.ny + 1), v_corr, v)
+
+    # --- Rudman double sweep (parity-ordered) + clamp ---
+    if even_step:
+        F = _sweep_body(g.dy, g.dx, dt, nm.fct, 1, F, v)
+        F = _sweep_body(g.dx, g.dy, dt, nm.fct, 0, F, u)
+    else:
+        F = _sweep_body(g.dx, g.dy, dt, nm.fct, 0, F, u)
+        F = _sweep_body(g.dy, g.dx, dt, nm.fct, 1, F, v)
+    F = clamp01(F)
+
+    # --- end-of-step wall BCs ---
+    u, v, F, p = _bc_values(g, u, v, F, p)
+    F_out[:] = F
+    u_out[:] = u
+    v_out[:] = v
+    p_out[:] = p
+
+
+def pallas_fullstep(cfg: SimConfig, F, u, v, p, even_step: bool,
+                    interpret: bool = False):
+    """One lean solver step as a single VMEM-resident kernel."""
+    shape = jax.ShapeDtypeStruct(F.shape, F.dtype)
+    return pl.pallas_call(
+        partial(_fullstep_kernel, cfg=cfg, even_step=even_step),
+        out_shape=(shape,) * 4,
+        in_specs=_vmem_specs(4),
+        out_specs=tuple(_vmem_specs(4)),
+        compiler_params=_compiler_params(F, 40),
+        interpret=interpret,
+    )(F, u, v, p)

@@ -101,6 +101,36 @@ def interp_velocity(cfg: SimConfig, state: State):
     return V
 
 
+def vector_field_segments(V: np.ndarray, arrow_spacing: int):
+    """Line segments + arrowhead triangles for the manual vector overlay —
+    the data contract of the reference's plot_vector_field
+    (flow_visualization.py:4-33), vectorized (the reference loops in
+    Python). Returns (begin (N,2), end (N,2), heads (N,3,2)) in [0,1]^2
+    frame coordinates; zero-magnitude arrows are dropped (the reference
+    would divide by zero normalizing their direction)."""
+    V = np.asarray(V)
+    nx, ny = V.shape[0], V.shape[1]
+    norm = np.linalg.norm(V, axis=-1)
+    scale = min(nx, ny) * 0.1 / (norm.max() + 1e-16)
+    head = 0.3 * arrow_spacing / min(nx, ny)
+
+    ii, jj = np.meshgrid(np.arange(1, nx, arrow_spacing),
+                         np.arange(1, ny, arrow_spacing), indexing="ij")
+    ii, jj = ii.ravel(), jj.ravel()
+    begin = np.stack([ii / nx, jj / ny], axis=-1)
+    d = V[ii, jj] * np.array([scale / nx, scale / ny])
+    mag = np.linalg.norm(d, axis=-1)
+    keep = mag > 0
+    begin, d, mag = begin[keep], d[keep], mag[keep]
+    end = begin + d
+    direction = d / mag[:, None]
+    normal = np.stack([-direction[:, 1], direction[:, 0]], axis=-1)
+    a = end - head * direction + 0.5 * head * normal
+    b = end - head * direction - 0.5 * head * normal
+    heads = np.stack([end, a, b], axis=1)
+    return begin, end, heads
+
+
 def arrow_field(V: np.ndarray, arrow_spacing: int = 4):
     """Arrow origins and increments in [0,1]^2 frame coordinates — the data
     contract of the reference's gui.arrows overlay
