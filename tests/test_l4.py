@@ -145,3 +145,21 @@ def test_vector_field_segments(small_run):
     np.testing.assert_allclose(heads[:, 0], end, atol=1e-12)
     # all coordinates inside the unit frame (no runaway scaling)
     assert begin.min() >= 0 and begin.max() <= 1
+
+
+def test_gif_assembly(small_run, tmp_path):
+    from tpuvof.io_utils import frames_to_gif
+
+    cfg, state = small_run
+    paths = []
+    for i, mode in enumerate(["vof", "u", "vnorm"]):  # distinct frames (the
+        # GIF writer elides zero-difference frames)
+        rgb = np.asarray(render_frame(cfg, state, mode))
+        p = tmp_path / f"{i:03d}-frame.png"
+        save_frame_png(str(p), rgb)
+        paths.append(str(p))
+    out = frames_to_gif(paths, str(tmp_path / "movie.gif"), fps=10)
+    assert os.path.getsize(out) > 100
+    import PIL.Image
+    img = PIL.Image.open(out)
+    assert getattr(img, "n_frames", 1) == 3

@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="advance the view mode every frame (like SPACE in the reference GUI)")
     p.add_argument("--outdir", default="output")
     p.add_argument("--no-frames", action="store_true", help="metrics only, no PNGs")
+    p.add_argument("--gif", action="store_true",
+                   help="assemble the run's frames into <outdir>/movie.gif "
+                        "(replaces the reference's `ti video`/`ti gif` step)")
     # checkpointing (superset of the reference)
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", default=None, help="npz checkpoint to resume from")
@@ -262,6 +265,15 @@ def main(argv=None) -> int:
             save_checkpoint(path, cfg, state, istep)
             print(f">>> checkpoint saved: {path}")
 
+    if args.gif and not args.no_frames:
+        from .io_utils import frames_to_gif
+        import glob
+        frames = glob.glob(os.path.join(args.outdir, f"*-{MODES[vis_idx % len(MODES)] if not args.cycle_views else '*'}.png"))
+        frames = [f for f in frames if "-f.png" not in f] or glob.glob(
+            os.path.join(args.outdir, "*.png"))
+        if frames:
+            gif = frames_to_gif(frames, os.path.join(args.outdir, "movie.gif"))
+            print(f">>> assembled {len(frames)} frames into {gif}")
     wall = time.time() - t0
     if profile_cm is not None:
         profile_cm.__exit__(None, None, None)

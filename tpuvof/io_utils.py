@@ -111,6 +111,25 @@ def load_checkpoint(path: str):
         return state, int(z["istep"]), json.loads(str(z["config"]))
 
 
+def frames_to_gif(frame_paths, out_path: str, fps: int = 20):
+    """Assemble PNG frames into a GIF — the in-framework replacement for the
+    Taichi CLI video/gif tools the reference README delegates to
+    (README.md:39-45)."""
+    from PIL import Image
+
+    frames = [Image.open(p).convert("P") for p in sorted(frame_paths)]
+    if not frames:
+        raise ValueError("no frames to assemble")
+    frames[0].save(
+        out_path,
+        save_all=True,
+        append_images=frames[1:],
+        duration=int(1000 / fps),
+        loop=0,
+    )
+    return out_path
+
+
 def write_vtk(path: str, point_data: dict, spacing=(1.0, 1.0, 1.0)):
     """Legacy-format VTK STRUCTURED_POINTS volume (binary, big-endian f32).
 
