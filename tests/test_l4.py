@@ -163,3 +163,38 @@ def test_gif_assembly(small_run, tmp_path):
     import PIL.Image
     img = PIL.Image.open(out)
     assert getattr(img, "n_frames", 1) == 3
+
+
+def test_cli_three_d(tmp_path):
+    rc = cli.main(["--three-d", "--nx", "8", "--steps", "4", "--frame-every", "2",
+                   "--outdir", str(tmp_path)])
+    assert rc == 0
+    assert any(f.endswith(".vtk") for f in os.listdir(tmp_path))
+
+
+def test_cli_optimize(tmp_path):
+    rc = cli.main(["--optimize", "1", "--nx", "12", "--opt-steps", "4",
+                   "--epochs", "2", "--no-frames", "--outdir", str(tmp_path)])
+    assert rc == 0
+    assert os.path.exists(os.path.join(str(tmp_path), "F0_optimized.npy"))
+
+
+def test_cli_target_npy(tmp_path):
+    tgt = np.zeros((14, 14), np.float32)
+    tgt[4:10, 4:10] = 1.0
+    path = os.path.join(str(tmp_path), "target.npy")
+    np.save(path, tgt)
+    rc = cli.main(["--target-npy", path, "--nx", "12", "--opt-steps", "3",
+                   "--epochs", "1", "--no-frames", "--outdir", str(tmp_path)])
+    assert rc == 0
+    # wrong-shape target is rejected cleanly
+    rc = cli.main(["--target-npy", path, "--nx", "20", "--opt-steps", "3",
+                   "--epochs", "1", "--no-frames", "--outdir", str(tmp_path)])
+    assert rc == 2
+
+
+def test_cli_gif(tmp_path):
+    rc = cli.main(["-ic", "1", "--nx", "16", "--steps", "9", "--frame-every", "3",
+                   "--gif", "--outdir", str(tmp_path)])
+    assert rc == 0
+    assert os.path.exists(os.path.join(str(tmp_path), "movie.gif"))

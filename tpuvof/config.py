@@ -11,7 +11,7 @@ from __future__ import annotations
 import dataclasses
 from dataclasses import dataclass, field
 
-from .grid import Grid2D, Grid3D
+from .grid import Grid2D
 
 __all__ = [
     "Fluid",

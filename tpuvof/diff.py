@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import SimConfig, Fluid, Numerics, FCT_DIFF, FCT_SCHEME_TEST
+from .config import SimConfig, Fluid, Numerics, FCT_DIFF
 from .grid import Grid2D
 from .state import State, find_area
 from .ops import (

@@ -14,8 +14,6 @@ left/right slip with no-penetration (u=0 on the wall faces). Scalar fields
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 __all__ = ["apply_bc", "mirror_scalar", "apply_bc_3d"]
 
 

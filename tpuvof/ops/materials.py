@@ -6,8 +6,6 @@ mixes of the liquid/gas properties. Works for 2-D and 3-D arrays alike.
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from ..config import Fluid
 from .common import clamp01
 

@@ -26,7 +26,6 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import SimConfig
-from ..grid import Grid2D
 from ..state import State
 from ..ops import clamp01, mix_properties
 from ..ops.fct import fct_sweep_x, fct_sweep_y

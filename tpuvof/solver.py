@@ -19,7 +19,6 @@ reference's 0-based parity (first step even: y then x; diff_vof.py:345-351).
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
