@@ -198,3 +198,29 @@ def test_cli_gif(tmp_path):
                    "--gif", "--outdir", str(tmp_path)])
     assert rc == 0
     assert os.path.exists(os.path.join(str(tmp_path), "movie.gif"))
+
+
+def test_cli_optimize_case(tmp_path):
+    rc = cli.main(["--optimize-case", "translation", "--nx", "16",
+                   "--opt-steps", "4", "--epochs", "2", "--lr", "0.1",
+                   "--no-frames", "--outdir", str(tmp_path)])
+    assert rc == 0
+    assert os.path.exists(os.path.join(str(tmp_path), "F0_optimized.npy"))
+
+
+def test_paint_canvas():
+    from tpuvof.paint import PaintCanvas, paint_interactively
+
+    g = tv.Grid2D(20, 20)
+    c = PaintCanvas(g, stamp=2)
+    c.stamp_at(0.5, 0.5)
+    c.stamp_at(0.0, 0.0)  # corner-clipped like the reference's guard
+    t = c.F
+    assert t[10, 10] == 1.0 and t[9, 9] == 1.0
+    assert t.sum() == 16 + 4
+    # headless guard: interactive painting must refuse cleanly under Agg
+    import matplotlib
+    matplotlib.use("Agg", force=True)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="no interactive display"):
+        paint_interactively(g)

@@ -76,6 +76,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=0.02)
     p.add_argument("--opt-steps", type=int, default=999, dest="opt_steps",
                    help="forward steps per optimization epoch")
+    p.add_argument("--optimize-case", default=None, dest="optimize_case",
+                   choices=[None, "single_vortex", "zalesak_disk", "translation",
+                            "checkerboard"],
+                   help="gradient-optimize F0 through pure advection toward "
+                        "the case's target (test/diff_fct.py equivalent)")
     p.add_argument("--adjoint", choices=["unrolled", "selfadjoint"],
                    default="selfadjoint",
                    help="pressure-solve adjoint: selfadjoint is the diff_vof_replaced-style custom adjoint (robust on TPU); unrolled differentiates through the iterations")
@@ -152,6 +157,33 @@ def run_optimize(args) -> int:
     return 0
 
 
+def run_optimize_advection(args) -> int:
+    """test/diff_fct.py equivalent: optimize F0 under a fixed velocity."""
+    import numpy as np
+    from . import diff
+    import tpuvof.models as models
+    from .io_utils import save_contour_png
+
+    maker = models.ADVECTION_CASES[args.optimize_case]
+    case, _, u, v, Ftarget = maker(n=args.nx) if args.nx != 200 else maker()
+    n_steps = args.opt_steps if args.opt_steps != 999 else 200
+    os.makedirs(args.outdir, exist_ok=True)
+    print(f">>> Advection F0 optimization ({args.optimize_case}): "
+          f"{case.grid.nx}^2, {n_steps} steps/epoch, {args.epochs} epochs, "
+          f"lr={args.lr}")
+    F0, losses = diff.optimize_advection_f0(
+        case, u, v, Ftarget, n_steps=n_steps, n_epochs=args.epochs, lr=args.lr)
+    for i, l in enumerate(losses):
+        if i % max(1, len(losses) // 10) == 0 or i == len(losses) - 1:
+            print(f">>> >>> Current loss: {l:.4f}")
+    np.save(os.path.join(args.outdir, "F0_optimized.npy"), np.asarray(F0))
+    if not args.no_frames:
+        save_contour_png(os.path.join(args.outdir, "F0_optimized.png"),
+                         np.asarray(F0), case.grid.Lx, case.grid.Ly)
+    print(f">>> final loss {losses[-1]:.4f} (from {losses[0]:.4f})")
+    return 0
+
+
 def run_advection(args) -> int:
     import tpuvof.models as models
     from .io_utils import save_contour_png
@@ -184,6 +216,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.case:
         return run_advection(args)
+    if args.optimize_case:
+        return run_optimize_advection(args)
     if args.optimize or args.target_npy:
         return run_optimize(args)
     if args.three_d:
