@@ -78,3 +78,43 @@ def test_vtk_export_of_3d_state(tmp_path):
     assert path.endswith(".vtk")
     head = open(path, "rb").read(200)
     assert b"DIMENSIONS 10 10 10" in head
+
+
+def test_pallas_jacobi3d_matches_xla():
+    """The fused 3-D Jacobi kernel (interpret mode on CPU) must match the
+    XLA pressure solve; only the ghost ring differs (zeroed; re-mirrored by
+    the subsequent BC in step_3d)."""
+    from tpuvof.solver3d import _solve_pressure_3d
+    from tpuvof.pallas_kernels.jacobi3d import pallas_jacobi_3d
+
+    rng = np.random.default_rng(0)
+    g = Grid3D(10, 10, 10)
+    shape = g.shape
+    p = jnp.asarray(rng.normal(0, 10, shape), jnp.float64)
+    us = jnp.asarray(rng.normal(0, 1e-3, shape), jnp.float64)
+    vs = jnp.asarray(rng.normal(0, 1e-3, shape), jnp.float64)
+    ws = jnp.asarray(rng.normal(0, 1e-3, shape), jnp.float64)
+    rho = jnp.asarray(rng.uniform(50, 1000, shape), jnp.float64)
+    want = _solve_pressure_3d(g, 4e-6, 10, p, us, vs, ws, rho)
+    I = (slice(1, -1),) * 3
+    rhs = rho[I] / 4e-6 * (
+        (np.asarray(us)[2:, 1:-1, 1:-1] - np.asarray(us)[I]) * g.dxi
+        + (np.asarray(vs)[1:-1, 2:, 1:-1] - np.asarray(vs)[I]) * g.dyi
+        + (np.asarray(ws)[1:-1, 1:-1, 2:] - np.asarray(ws)[I]) * g.dzi
+    )
+    got = pallas_jacobi_3d(g, 10, p, jnp.asarray(rhs), interpret=True)
+    np.testing.assert_allclose(np.asarray(got)[I], np.asarray(want)[I],
+                               rtol=1e-12, atol=1e-9)
+    assert float(jnp.abs(got[0]).max()) == 0.0  # ghost ring zeroed
+
+
+def test_pallas_3d_trajectory_matches_spec():
+    """Full 3-D steps with the pallas Jacobi (interpret) still match the
+    loop spec — the ghost-zero trick is invisible to the trajectory."""
+    spec, g, state = make_states()
+    n_steps = 4
+    state = simulate_3d(g, state, n_steps, backend="pallas")
+    spec.run(n_steps)
+    np.testing.assert_allclose(np.asarray(state.F), spec.F, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(state.p)[1:-1, 1:-1, 1:-1],
+                               spec.p[1:-1, 1:-1, 1:-1], atol=1e-6)

@@ -69,10 +69,13 @@ def _solve_pressure_3d(g: Grid3D, dt, n_iter, p, u_star, v_star, w_star, rho):
 
 
 def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
-            state: State3D, phase: int) -> State3D:
+            state: State3D, phase: int, backend: str = "xla") -> State3D:
     """One step; ``phase`` = istep % 3 selects the sweep rotation
     (3dvof.py:351-363; the main loop pre-increments istep, so the first
-    step runs phase 1)."""
+    step runs phase 1). backend='pallas' runs the Jacobi iterations in the
+    fused VMEM-resident kernel when the volume fits (<= ~144^3); the
+    zeroed ghost ring it returns is re-mirrored by the BC right after the
+    velocity correction, before any ghost consumer."""
     F, u, v, w, p = state
     rho, nu = mix_properties(fl, F)
     kappa = jnp.zeros_like(F)  # surface tension inert in 3-D (3dvof.py:607)
@@ -81,7 +84,24 @@ def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
         g, fl, dt, u, v, w, F, rho, nu, kappa
     )
     u, v, w, F, p, rho = apply_bc_3d(u, v, w, F, p, rho)
-    p = _solve_pressure_3d(g, dt, n_jacobi, p, u_star, v_star, w_star, rho)
+
+    from .pallas_kernels.jacobi3d import jacobi3d_fits_vmem, pallas_jacobi_3d
+
+    if backend == "pallas" and jacobi3d_fits_vmem(g):
+        import jax as _jax
+
+        I = (slice(1, -1),) * 3
+        rhs = rho[I] / dt * (
+            (u_star[2:, 1:-1, 1:-1] - u_star[I]) * g.dxi
+            + (v_star[1:-1, 2:, 1:-1] - v_star[I]) * g.dyi
+            + (w_star[1:-1, 1:-1, 2:] - w_star[I]) * g.dzi
+        )
+        p = pallas_jacobi_3d(
+            g, n_jacobi, p, rhs,
+            interpret=(_jax.default_backend() == "cpu"),
+        )
+    else:
+        p = _solve_pressure_3d(g, dt, n_jacobi, p, u_star, v_star, w_star, rho)
     u, v, w = update_velocity_3d(g, dt, u, v, w, u_star, v_star, w_star, p, rho)
     u, v, w, F, p, rho = apply_bc_3d(u, v, w, F, p, rho)
     F = rudman_advect_3d(g, dt, F, u, v, w, phase)
@@ -90,22 +110,22 @@ def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
     return State3D(F=F, u=u, v=v, w=w, p=p)
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6))
 def simulate_3d(g: Grid3D, state: State3D, n_steps: int,
                 dt: float = 4e-6, n_jacobi: int = 10,
-                fl: Fluid | None = None) -> State3D:
+                fl: Fluid | None = None, backend: str = "xla") -> State3D:
     """Advance n_steps with the reference's 1-based phase schedule
     (first step phase 1, then 2, 0, 1, ...)."""
     fl = fl or Fluid()
 
     def triple(s, _):
-        s = step_3d(g, fl, dt, n_jacobi, s, 1)
-        s = step_3d(g, fl, dt, n_jacobi, s, 2)
-        s = step_3d(g, fl, dt, n_jacobi, s, 0)
+        s = step_3d(g, fl, dt, n_jacobi, s, 1, backend)
+        s = step_3d(g, fl, dt, n_jacobi, s, 2, backend)
+        s = step_3d(g, fl, dt, n_jacobi, s, 0, backend)
         return s, None
 
     n_triples, rem = divmod(n_steps, 3)
     state, _ = jax.lax.scan(triple, state, None, length=n_triples)
     for r in range(rem):
-        state = step_3d(g, fl, dt, n_jacobi, state, (r + 1) % 3)
+        state = step_3d(g, fl, dt, n_jacobi, state, (r + 1) % 3, backend)
     return state
