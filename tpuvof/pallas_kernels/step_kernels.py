@@ -56,7 +56,7 @@ def _compiler_params(F, n_live: int):
     n1 = ((F.shape[1] + 127) // 128) * 128
     need = n_live * n0 * n1 * F.dtype.itemsize
     return pltpu.CompilerParams(
-        vmem_limit_bytes=min(max(need, 16 * 2**20), 110 * 2**20)
+        vmem_limit_bytes=min(max(need, 16 * 2**20), 124 * 2**20)
     )
 
 
