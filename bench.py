@@ -12,7 +12,9 @@ reference (which is not installable here), recorded in BASELINE.md.
 from __future__ import annotations
 
 import json
+import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -31,6 +33,8 @@ def measure(simulate, cfg, state, n_steps: int) -> float:
 
 
 def run_backend(tv, n, n_steps, backend):
+    from tpuvof.solver import effective_backend
+
     cfg = tv.SimConfig(grid=tv.Grid2D(n, n), num=tv.Numerics(backend=backend))
     state = tv.init_state(cfg, ic=1)
     _, s = measure(tv.simulate, cfg, state, n_steps)  # warmup / compile
@@ -38,7 +42,7 @@ def run_backend(tv, n, n_steps, backend):
     for _ in range(3):
         dt, s = measure(tv.simulate, cfg, s, n_steps)
         times.append(dt)
-    return min(times)
+    return min(times), effective_backend(cfg)
 
 
 def main():
@@ -47,13 +51,19 @@ def main():
 
     n = 512
     n_steps = 1000
-    results = {"xla": run_backend(tv, n, n_steps, "xla")}
+    backends = ["xla"]
     if jax.default_backend() != "cpu":
-        for backend in ("pallas", "pallas_mono"):
-            try:
-                results[backend] = run_backend(tv, n, n_steps, backend)
-            except Exception:
-                pass  # fused kernels unavailable on this backend/version
+        backends += ["pallas", "pallas_mono"]
+    results = {}
+    ran = {}
+    for backend in backends:
+        try:
+            results[backend], ran[backend] = run_backend(tv, n, n_steps, backend)
+        except Exception:
+            # a broken fused path must be VISIBLE, not silently absorbed
+            # into the XLA number (VERDICT r1 #6)
+            print(f"bench: backend {backend!r} FAILED:", file=sys.stderr)
+            traceback.print_exc()
     backend = min(results, key=results.get)
     best = results[backend]
     cups = n * n * n_steps / best
@@ -73,7 +83,15 @@ def main():
                 "value": round(cups, 1),
                 "unit": "cells*steps/s",
                 "vs_baseline": round(cups / baseline, 3) if baseline == baseline else None,
+                # Taichi is not installable here; the baseline is this
+                # framework's own XLA:CPU run of the identical workload
+                # (BASELINE.md "measured" table)
+                "baseline_kind": "self_xla_cpu",
                 "backend": backend,
+                "backend_effective": ran[backend],
+                "per_backend_seconds": {
+                    k: round(v, 4) for k, v in sorted(results.items())
+                },
                 "seconds_per_1000_steps": round(best, 4),
             }
         )

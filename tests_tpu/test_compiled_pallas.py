@@ -1,0 +1,80 @@
+"""Compiled Pallas kernels vs the XLA path ON THE REAL TPU (VERDICT r1 #4).
+
+tests/test_pallas.py pins the kernel semantics in interpret mode; this
+suite asserts the Mosaic-COMPILED kernels agree with the compiled XLA path
+at the tolerances BASELINE.md records (f32 FMA/re-association noise), so a
+Mosaic regression can never hide behind a healthy interpret-mode run.
+
+Run on the bench machine:  python -m pytest tests_tpu/ -q
+(first-ever compiles of these shapes take minutes; cached afterwards).
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import tpuvof as tv
+
+pytestmark = pytest.mark.tpu
+
+TOL_2D = {"F": 5e-7, "u": 1e-8, "v": 1e-8, "p": 1e-4}
+
+
+@pytest.fixture(scope="module")
+def state_2d():
+    cfg = tv.SimConfig(grid=tv.Grid2D(64, 64))
+    state = tv.simulate(cfg, tv.init_state(cfg, ic=1), 50)
+    from tpuvof.ops import apply_bc
+
+    u, v, F, p = apply_bc(state.u, state.v, state.F, state.p)
+    return cfg, tv.State(F=F, u=u, v=v, p=p)
+
+
+@pytest.mark.parametrize("parity", [False, True])
+def test_compiled_phase_kernels_match_xla(state_2d, parity):
+    from tpuvof.solver import _step_pallas, step
+
+    cfg, state = state_2d
+    a = step(cfg, state, even_step=parity, lean=True)
+    b = _step_pallas(cfg, state, even_step=parity, interpret=False, lean=True)
+    for name in ("F", "u", "v", "p"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(b, name)), np.asarray(getattr(a, name)),
+            atol=TOL_2D[name], err_msg=name)
+
+
+@pytest.mark.parametrize("parity", [False, True])
+def test_compiled_mono_kernel_matches_xla(state_2d, parity):
+    from tpuvof.solver import _step_pallas_mono, step
+
+    cfg, state = state_2d
+    a = step(cfg, state, even_step=parity, lean=True)
+    b = _step_pallas_mono(cfg, state, even_step=parity, interpret=False)
+    for name in ("F", "u", "v", "p"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(b, name)), np.asarray(getattr(a, name)),
+            atol=TOL_2D[name], err_msg=name)
+
+
+def test_compiled_3d_slab_step_matches_xla():
+    from tpuvof.grid import Grid3D
+    from tpuvof.solver3d import simulate_3d
+
+    g = Grid3D(32, 32, 32)
+    s0 = tv.init_state_3d(g, ic=1)
+    a = simulate_3d(g, s0, 12, backend="xla")
+    b = simulate_3d(g, s0, 12, backend="pallas")
+    tol = {"F": 5e-6, "u": 1e-7, "v": 1e-7, "w": 1e-7, "p": 1e-3}
+    for name in ("F", "u", "v", "w", "p"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(b, name), np.float64),
+            np.asarray(getattr(a, name), np.float64),
+            atol=tol[name], err_msg=name)
+
+
+def test_compiled_simulate_finite_and_bounded():
+    cfg = tv.SimConfig(grid=tv.Grid2D(128, 128),
+                       num=tv.Numerics(backend="pallas_mono"))
+    s = tv.simulate(cfg, tv.init_state(cfg, ic=1), 200)
+    F = np.asarray(s.F)
+    assert np.isfinite(F).all()
+    assert F.min() >= 0.0 and F.max() <= 1.0

@@ -23,7 +23,14 @@ from .config import (
     FCT_SCHEME_TEST,
     dam_break_2d,
 )
-from .state import State, State3D, init_state, initial_volume_fraction, find_area
+from .state import (
+    State,
+    State3D,
+    init_state,
+    init_state_3d,
+    initial_volume_fraction,
+    find_area,
+)
 from .solver import step, step_pair, simulate, make_step_fn
 
 __version__ = "0.1.0"

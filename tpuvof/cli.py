@@ -87,7 +87,71 @@ def build_parser() -> argparse.ArgumentParser:
     # 3-D mode (3dvof.py equivalent: dam break + VTK dumps)
     p.add_argument("--three-d", action="store_true", dest="three_d",
                    help="run the 3-D dam break (VTK volume every frame interval)")
+    # interactive surfaces (reference GUI loop 2dvof.py:502-561 and
+    # paint-a-target diff_vof.py:188-198; VERDICT r1 #5)
+    p.add_argument("--live", action="store_true",
+                   help="open the live interactive viewer (SPACE cycles "
+                        "view modes, p pauses, q quits); needs a display")
+    p.add_argument("--paint", action="store_true",
+                   help="with --optimize: paint the target interactively "
+                        "before optimizing (needs a display)")
+    # distributed execution (SURVEY §5 scale-out; VERDICT r1 #3)
+    p.add_argument("--mesh", default=None, metavar="PX,PY",
+                   help="run domain-decomposed over a PXxPY device mesh "
+                        "(shard_map + ppermute halo exchange); grid must "
+                        "divide evenly. PX*PY <= len(jax.devices())")
     return p
+
+
+def run_distributed(args, cfg, state, istep) -> int:
+    """Domain-decomposed run: scatter once, step in frame-sized chunks on
+    the blocked sharded state, gather per frame for metrics/PNGs."""
+    import jax
+    import tpuvof as tv
+    from jax.sharding import Mesh
+    from .metrics import banner, compute_metrics_jit, format_frame
+    from .io_utils import save_contour_png
+    from .parallel import Decomp
+
+    px, py = (int(x) for x in args.mesh.split(","))
+    devs = jax.devices()
+    if px * py > len(devs):
+        print(f"error: mesh {px}x{py} needs {px*py} devices, have "
+              f"{len(devs)}", file=sys.stderr)
+        return 2
+    mesh = Mesh(np.array(devs[: px * py]).reshape(px, py), ("mx", "my"))
+    dec = Decomp(cfg, mesh)
+    run = dec.make_simulate()
+    blocked = dec.scatter_state(state)
+
+    os.makedirs(args.outdir, exist_ok=True)
+    print(banner(cfg))
+    print(f">>> distributed over a {px}x{py} mesh "
+          f"({[d.platform for d in devs[:1]][0]} devices); compiling...")
+    t0 = time.time()
+    target_step = istep + args.steps
+    while istep < target_step:
+        n = min(args.frame_every, target_step - istep)
+        if istep % 2:  # resumed mid-pair (parity handling as serial path)
+            print("warning: odd resume step; parity follows pair schedule",
+                  file=sys.stderr)
+        blocked = run(blocked, n)
+        istep += n
+        state = dec.gather_state(blocked)
+        m = compute_metrics_jit(cfg, state)
+        print(format_frame(istep, cfg.num.dt, m, "vof"))
+        if not bool(m.finite):
+            print(">>> aborting: non-finite fields", file=sys.stderr)
+            return 1
+        if not args.no_frames:
+            count = istep // args.frame_every - 1
+            save_contour_png(os.path.join(args.outdir, f"{count:06d}-f.png"),
+                             np.asarray(state.F), cfg.grid.Lx, cfg.grid.Ly)
+    wall = time.time() - t0
+    cups = cfg.grid.nx * cfg.grid.ny * args.steps / wall
+    print(f">>> {args.steps} steps in {wall:.2f}s on {px}x{py} mesh "
+          f"({cups:.3e} cell-updates/s incl. gather/frame I/O)")
+    return 0
 
 
 def run_3d(args) -> int:
@@ -129,7 +193,16 @@ def run_optimize(args) -> int:
     from .io_utils import save_contour_png
 
     cfg = diff.diff_config(n=args.nx, adjoint=args.adjoint)
-    if args.target_npy:
+    if args.paint:
+        from .paint import paint_interactively
+
+        print(">>> paint the target shape (LMB drag; close window when done)")
+        try:
+            Ftarget = jnp.asarray(paint_interactively(cfg.grid))
+        except RuntimeError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+    elif args.target_npy:
         Ftarget = jnp.asarray(np.load(args.target_npy).astype(np.float32))
         if Ftarget.shape != cfg.grid.shape:
             print(f"error: target shape {Ftarget.shape} != grid {cfg.grid.shape}",
@@ -142,11 +215,22 @@ def run_optimize(args) -> int:
           f"{args.opt_steps} steps/epoch, {args.epochs} epochs, lr={args.lr}, "
           f"adjoint={args.adjoint}")
 
+    from .io_utils import save_grad_png, save_side_by_side_png
+
     def cb(epoch, loss, F0, grad):
         print(f">>> >>> Optimization cycle {epoch}: loss = {loss:.4f}")
         if not args.no_frames and epoch % 10 == 0:
             save_contour_png(os.path.join(args.outdir, f"opt-{epoch:04d}-f0.png"),
                              np.asarray(F0), cfg.grid.Lx, cfg.grid.Ly)
+            # current-vs-target side-by-side (diff_vof.py:448-454) and the
+            # gradient field (test/diff_fct.py:370-375); one extra forward
+            # rollout per 10 epochs for the end state
+            F_end = diff.rollout(cfg, F0, args.opt_steps).F
+            save_side_by_side_png(
+                os.path.join(args.outdir, f"opt-{epoch:04d}-vs-target.png"),
+                np.asarray(F_end), np.asarray(Ftarget))
+            save_grad_png(os.path.join(args.outdir, f"opt-{epoch:04d}-grad.png"),
+                          np.asarray(grad))
 
     opts = diff.DiffOptions(n_steps=args.opt_steps, lr=args.lr)
     F0, losses = diff.optimize_f0(cfg, Ftarget, opts=opts,
@@ -247,6 +331,19 @@ def main(argv=None) -> int:
         print(f">>> resumed from {args.resume} at step {istep}")
     else:
         state = tv.init_state(cfg, ic=args.ic)
+
+    if args.mesh:
+        return run_distributed(args, cfg, state, istep)
+
+    if args.live:
+        from .live import live_loop
+
+        print(banner(cfg))
+        state, istep = live_loop(cfg, state, args.steps,
+                                 steps_per_frame=args.frame_every,
+                                 view=args.view, istep0=istep)
+        print(f">>> live session ended at step {istep}")
+        return 0
 
     os.makedirs(args.outdir, exist_ok=True)
     print(banner(cfg))

@@ -24,10 +24,51 @@ from .state import State
 __all__ = [
     "save_frame_png",
     "save_contour_png",
+    "save_side_by_side_png",
+    "save_grad_png",
     "save_checkpoint",
     "load_checkpoint",
     "write_vtk",
 ]
+
+
+def save_side_by_side_png(path: str, F_current, F_target):
+    """The in-optimization current-vs-target buffer (diff_vof.py:448-454,
+    526-554: get_field_to_buf stacks the evolving F beside Ftarget in one
+    window each epoch)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 2, figsize=(10, 5))
+    for ax, (title, field) in zip(
+        axes, (("current F", F_current), ("target", F_target))
+    ):
+        ax.imshow(np.asarray(field).T, origin="lower", cmap=plt.cm.Blues,
+                  vmin=0, vmax=1)
+        ax.set_title(title)
+        ax.set_axis_off()
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+
+
+def save_grad_png(path: str, grad):
+    """Gradient-field rendering (test/diff_fct.py:370-375: F.grad scaled
+    into a display buffer beside the optimization view); diverging colormap
+    centered on zero so sign structure is visible."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    g = np.asarray(grad)
+    lim = np.abs(g).max() or 1.0
+    plt.figure(figsize=(5, 5))
+    plt.axis("off")
+    plt.imshow(g.T, origin="lower", cmap=plt.cm.coolwarm, vmin=-lim, vmax=lim)
+    plt.savefig(path, bbox_inches="tight")
+    plt.close()
 
 
 def save_frame_png(path: str, rgb, arrows=None):
