@@ -102,19 +102,66 @@ def test_pallas_jacobi3d_matches_xla():
         + (np.asarray(vs)[1:-1, 2:, 1:-1] - np.asarray(vs)[I]) * g.dyi
         + (np.asarray(ws)[1:-1, 1:-1, 2:] - np.asarray(ws)[I]) * g.dzi
     )
-    got = pallas_jacobi_3d(g, 10, p, jnp.asarray(rhs), interpret=True)
+    rhs_full = np.zeros(shape)
+    rhs_full[I] = rhs
+    got = pallas_jacobi_3d(g, 10, p, jnp.asarray(rhs_full), interpret=True)
     np.testing.assert_allclose(np.asarray(got)[I], np.asarray(want)[I],
                                rtol=1e-12, atol=1e-9)
     assert float(jnp.abs(got[0]).max()) == 0.0  # ghost ring zeroed
 
 
 def test_pallas_3d_trajectory_matches_spec():
-    """Full 3-D steps with the pallas Jacobi (interpret) still match the
-    loop spec — the ghost-zero trick is invisible to the trajectory."""
+    """Full 3-D steps on the slab kernel pipeline (interpret mode) still
+    match the loop spec — ghost-zero Jacobi, zeroed-then-BC'd correction
+    outputs and the skipped no-op clamp are all invisible to the
+    trajectory."""
     spec, g, state = make_states()
     n_steps = 4
     state = simulate_3d(g, state, n_steps, backend="pallas")
     spec.run(n_steps)
     np.testing.assert_allclose(np.asarray(state.F), spec.F, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(state.u), spec.u, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(state.v), spec.v, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(state.w), spec.w, atol=1e-11)
     np.testing.assert_allclose(np.asarray(state.p)[1:-1, 1:-1, 1:-1],
                                spec.p[1:-1, 1:-1, 1:-1], atol=1e-6)
+
+
+def _random_3d_state(g, rng):
+    shape = g.shape
+    F = jnp.asarray(np.clip(rng.normal(0.5, 0.4, shape), 0, 1))
+    u = jnp.asarray(rng.normal(0, 1e-3, shape))
+    v = jnp.asarray(rng.normal(0, 1e-3, shape))
+    w = jnp.asarray(rng.normal(0, 1e-3, shape))
+    p = jnp.asarray(rng.normal(0, 10.0, shape))
+    # invariant of every reachable state: the low ghost plane of each
+    # velocity's own axis is never written (update ranges start at face 2,
+    # set_BC mirrors only the other axes) and stays at its zero
+    # initialization; the slab kernels rely on it
+    u = u.at[0, :, :].set(0.0)
+    v = v.at[:, 0, :].set(0.0)
+    w = w.at[:, :, 0].set(0.0)
+    from tpuvof.ops import apply_bc_3d
+
+    u, v, w, F, p = apply_bc_3d(u, v, w, F, p)
+    return State3D(F=F, u=u, v=v, w=w, p=p)
+
+
+@pytest.mark.parametrize("n", [10, 16])
+def test_pallas_3d_step_matches_xla(n):
+    """Every slab kernel (predict+rhs, chunked Jacobi, correction, three
+    FCT sweeps) against the XLA step on a randomized BC-consistent state,
+    full f64 interpret mode, all three sweep phases."""
+    from tpuvof.solver3d import _step_3d_pallas
+
+    rng = np.random.default_rng(3 + n)
+    g = Grid3D(n, n, n)
+    state = _random_3d_state(g, rng)
+    fl = Fluid()
+    for phase in (0, 1, 2):
+        a = step_3d(g, fl, 4e-6, 10, state, phase)
+        b = _step_3d_pallas(g, fl, 4e-6, 10, state, phase)
+        for name in ("F", "u", "v", "w", "p"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(b, name)), np.asarray(getattr(a, name)),
+                atol=1e-11 if name != "p" else 1e-7, err_msg=f"{name} ph{phase}")

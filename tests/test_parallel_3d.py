@@ -1,0 +1,66 @@
+"""x-decomposed 3-D solver vs the serial path at f64 (VERDICT r1 #7).
+
+Runs on the virtual 8-device CPU mesh (tests/conftest.py). The distributed
+trajectory must match the serial solver to re-association noise: same
+grid, same schedule, halo exchanges standing in for the serial array's
+contiguity.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+import tpuvof as tv
+from tpuvof.grid import Grid3D
+from tpuvof.solver3d import simulate_3d
+from tpuvof.parallel import Decomp3D
+
+N = 16
+
+
+def make_mesh_1d(px):
+    devs = jax.devices()[:px]
+    return Mesh(np.array(devs), ("mx",))
+
+
+def _f64(state):
+    return tv.State3D(*(jnp.asarray(np.asarray(a), jnp.float64) for a in state))
+
+
+@pytest.mark.parametrize("px", [2, 4, 8])
+def test_distributed_3d_matches_serial(px):
+    g = Grid3D(N, N, N)
+    state = _f64(tv.init_state_3d(g, ic=1))
+    n_steps = 5  # covers phases 1, 2, 0, 1, 2 (incl. the x-sweep first/last)
+    want = simulate_3d(g, state, n_steps)
+    dec = Decomp3D(g, make_mesh_1d(px))
+    got = dec.simulate(state, n_steps)
+    np.testing.assert_allclose(np.asarray(got.F)[1:-1], np.asarray(want.F)[1:-1],
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.u)[1:-1], np.asarray(want.u)[1:-1],
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.v)[1:-1], np.asarray(want.v)[1:-1],
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.w)[1:-1], np.asarray(want.w)[1:-1],
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.p)[1:-1], np.asarray(want.p)[1:-1],
+                               atol=1e-8)
+
+
+def test_distributed_3d_longer_run_physics():
+    g = Grid3D(N, N, N)
+    state = tv.init_state_3d(g, ic=1)
+    dec = Decomp3D(g, make_mesh_1d(4))
+    out = dec.simulate(state, 12)
+    F = np.asarray(out.F)
+    m0 = float(np.asarray(state.F)[1:-1, 1:-1, 1:-1].sum())
+    assert np.isfinite(F).all()
+    assert F.min() >= 0.0 and F.max() <= 1.0
+    assert abs(F[1:-1, 1:-1, 1:-1].sum() - m0) / m0 < 1e-3
+
+
+def test_decomp3d_rejects_bad_mesh():
+    g = Grid3D(10, 10, 10)
+    with pytest.raises(ValueError, match="divisible"):
+        Decomp3D(g, make_mesh_1d(4))

@@ -164,14 +164,34 @@ def run_3d(args) -> int:
     n = args.nx
     g = Grid3D(n, n, n)
     state = init_state_3d(g, ic=args.ic)
+    backend = "pallas" if args.backend in ("pallas", "pallas_mono") else "xla"
+    dec = None
+    if args.mesh:
+        import jax
+        from jax.sharding import Mesh
+        from .parallel import Decomp3D
+
+        px = int(args.mesh.split(",")[0])
+        devs = jax.devices()
+        if px > len(devs):
+            print(f"error: mesh {px} needs {px} devices, have {len(devs)}",
+                  file=sys.stderr)
+            return 2
+        dec = Decomp3D(g, Mesh(np.array(devs[:px]), ("mx",)),
+                       dt=args.dt, n_jacobi=args.jacobi)
     os.makedirs(args.outdir, exist_ok=True)
     print(f">>> 3-D VOF dam break: {n}^3, dt = {args.dt:4.2e}, "
-          f"{args.steps} steps, VTK every {args.frame_every}")
+          f"{args.steps} steps, VTK every {args.frame_every}"
+          + (f", x-decomposed over {dec.px} devices" if dec else ""))
     t0 = time.time()
     done = 0
     while done < args.steps:
         k = min(args.frame_every, args.steps - done)
-        state = simulate_3d(g, state, k, args.dt, args.jacobi)
+        if dec is not None:
+            state = dec.simulate(state, k)
+        else:
+            state = simulate_3d(g, state, k, args.dt, args.jacobi,
+                                backend=backend)
         done += k
         F = np.asarray(state.F)
         print(f">>> Exporting step-{done:05d} result... "

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from ..grid import Grid3D
 from .common import clamp01
 
-__all__ = ["fct3d_sweep_x", "fct3d_sweep_y", "fct3d_sweep_z", "rudman_advect_3d"]
+__all__ = ["fct3d_sweep_x", "fct3d_sweep_y", "fct3d_sweep_z",
+           "fct3d_sweep_x_windowed", "rudman_advect_3d"]
 
 
 def _sweep3d_axis0(vol, dv_area, flux_scale, q_scale, final_div, dt, F, u):
@@ -97,6 +98,65 @@ def fct3d_sweep_z(g: Grid3D, dt, F, w):
         vol, g.dx * g.dy, g.dy * g.dx / vol, g.dz, g.dz, dt, Ft, wt
     )
     return jnp.transpose(out, (1, 2, 0))
+
+
+def fct3d_sweep_x_windowed(g: Grid3D, dt, F_ext, u_ext, gi0):
+    """The x-sweep on an i-extended block in roll+mask form, for the
+    x-decomposed solver (parallel/dist3d.py): ``F_ext``/``u_ext`` carry the
+    shard's planes plus a 3-plane dependency halo; plane l holds global
+    i-index ``gi0 + l`` (traced or static). Positions within stencil reach
+    of the block's i-edges are junk — callers keep only fully-haloed
+    planes. Numerically identical to fct3d_sweep_x on the kept planes
+    (global-index masks reproduce the zero-ghost intermediate conventions;
+    pinned by tests/test_parallel_3d.py)."""
+    import jax
+
+    vol = g.dx * g.dy * g.dz
+    dv_area = g.dy * g.dz
+    flux_scale = g.dy * g.dz / vol
+    q_scale = g.dx
+    final_div = g.dy
+
+    shape = F_ext.shape
+    gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + gi0
+    j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    k = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    o_int = (j >= 1) & (j <= g.ny) & (k >= 1) & (k <= g.nz)
+
+    def sh(x, d):
+        return jnp.roll(x, -d, axis=0)
+
+    F = F_ext
+    vel = u_ext
+    F_up = sh(F, -1)
+    fL = vel * dt * jnp.where(vel >= 0, F_up, F)
+    fH = vel * dt * jnp.where(vel <= 0, F_up, F)
+    a = jnp.where((gi >= 1) & o_int, fH - fL, 0.0)
+    dv = vol - dt * dv_area * (sh(vel, 1) - vel)
+    ftd = clamp01((F + (fL - sh(fL, 1)) * flux_scale) * vol / dv)
+    int_m = (gi >= 1) & (gi <= g.nx) & o_int
+    Ftd = jnp.where(int_m, ftd, 0.0)
+    fmax = jnp.maximum(Ftd, jnp.maximum(sh(Ftd, -1), sh(Ftd, 1)))
+    fmin = jnp.minimum(Ftd, jnp.minimum(sh(Ftd, -1), sh(Ftd, 1)))
+    a_hi = sh(a, 1)
+    pp = jnp.maximum(0.0, a) - jnp.minimum(0.0, a_hi)
+    qp = (fmax - Ftd) * q_scale
+    rp = jnp.where(int_m & (pp > 0),
+                   jnp.minimum(1.0, qp / jnp.where(pp > 0, pp, 1.0)), 0.0)
+    pm = jnp.maximum(0.0, a_hi) - jnp.minimum(0.0, a)
+    qm = (Ftd - fmin) * q_scale
+    rm = jnp.where(int_m & (pm > 0),
+                   jnp.minimum(1.0, qm / jnp.where(pm > 0, pm, 1.0)), 0.0)
+    c = jnp.where(
+        (gi >= 1) & o_int,
+        jnp.where(a >= 0,
+                  jnp.minimum(rp, sh(rm, -1)),
+                  jnp.minimum(sh(rp, -1), rm)),
+        0.0,
+    )
+    corr = (sh(a, 1) * sh(c, 1) - a * c) / final_div
+    f_new = clamp01(Ftd - corr * vol / dv)
+    return jnp.where(int_m, f_new, F)
 
 
 def rudman_advect_3d(g: Grid3D, dt, F, u, v, w, phase: int):

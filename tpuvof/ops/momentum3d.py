@@ -16,12 +16,16 @@ from .common import win3
 __all__ = ["predict_velocity_3d", "update_velocity_3d"]
 
 
-def predict_velocity_3d(g: Grid3D, fl: Fluid, dt, u, v, w, F, rho, nu, kappa):
+def predict_velocity_3d(g: Grid3D, fl: Fluid, dt, u, v, w, F, rho, nu, kappa,
+                        u_lo: int = 2):
+    """``u_lo``: first updated u-face index. The serial solver uses 2 (face
+    1 is the wall); the x-decomposed solver passes 1 and masks the wall face
+    on the left-edge shard only (parallel/dist3d.py)."""
     dxi, dyi, dzi = g.dxi, g.dyi, g.dzi
     n1, n2, n3 = g.nx, g.ny, g.nz
 
-    # ---------- u* on i in [2, nx], j, k interior ----------
-    ri, rj, rk = (2, n1 + 1), (1, n2 + 1), (1, n3 + 1)
+    # ---------- u* on i in [u_lo, nx], j, k interior ----------
+    ri, rj, rk = (u_lo, n1 + 1), (1, n2 + 1), (1, n3 + 1)
 
     def U(di=0, dj=0, dk=0):
         return win3(u, ri, rj, rk, di, dj, dk)
@@ -49,7 +53,7 @@ def predict_velocity_3d(g: Grid3D, fl: Fluid, dt, u, v, w, F, rho, nu, kappa):
         + fl.gx
         + fx * 2 / (win3(rho, ri, rj, rk) + win3(rho, ri, rj, rk, -1, 0, 0))
     )
-    u_star = jnp.zeros_like(u).at[2 : n1 + 1, 1 : n2 + 1, 1 : n3 + 1].set(us)
+    u_star = jnp.zeros_like(u).at[u_lo : n1 + 1, 1 : n2 + 1, 1 : n3 + 1].set(us)
 
     # ---------- v* on j in [2, ny] ----------
     ri, rj, rk = (1, n1 + 1), (2, n2 + 1), (1, n3 + 1)
@@ -116,17 +120,17 @@ def predict_velocity_3d(g: Grid3D, fl: Fluid, dt, u, v, w, F, rho, nu, kappa):
 
 
 def update_velocity_3d(g: Grid3D, dt, u_prev, v_prev, w_prev,
-                       u_star, v_star, w_star, p, rho):
+                       u_star, v_star, w_star, p, rho, u_lo: int = 2):
     """Pressure-gradient correction over the reference face ranges
-    (3dvof.py:286-302)."""
+    (3dvof.py:286-302). ``u_lo`` as in predict_velocity_3d."""
     n1, n2, n3 = g.nx, g.ny, g.nz
 
-    ri, rj, rk = (2, n1 + 1), (1, n2 + 1), (1, n3 + 1)
+    ri, rj, rk = (u_lo, n1 + 1), (1, n2 + 1), (1, n3 + 1)
     r_u = (win3(rho, ri, rj, rk) + win3(rho, ri, rj, rk, -1, 0, 0)) * 0.5
     u_int = win3(u_star, ri, rj, rk) - dt / r_u * (
         win3(p, ri, rj, rk) - win3(p, ri, rj, rk, -1, 0, 0)
     ) * g.dxi
-    u = u_prev.at[2 : n1 + 1, 1 : n2 + 1, 1 : n3 + 1].set(u_int)
+    u = u_prev.at[u_lo : n1 + 1, 1 : n2 + 1, 1 : n3 + 1].set(u_int)
 
     ri, rj, rk = (1, n1 + 1), (2, n2 + 1), (1, n3 + 1)
     r_v = (win3(rho, ri, rj, rk) + win3(rho, ri, rj, rk, 0, -1, 0)) * 0.5

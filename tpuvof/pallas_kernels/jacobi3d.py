@@ -1,4 +1,4 @@
-"""Fused 3-D Jacobi pressure iterations (VMEM-resident).
+"""Fused 3-D Jacobi pressure iterations (VMEM-resident, chunk-streamed).
 
 The XLA 3-D path pays ~70 GB/s effective for every shifted-slice stencil
 pass (BASELINE.md analysis), and the Jacobi phase is 10 such passes per
@@ -6,19 +6,30 @@ step. This kernel keeps p in VMEM across all iterations: HBM traffic drops
 from 10x(read p + write p + read rhs) to one read of (p, rhs) and one write
 of p.
 
-Two tricks keep VMEM to three volumes:
+Round-1 limitation removed: the first version computed each iteration as
+six whole-volume shifted reads, which made Mosaic keep ~8 padded volumes
+live and capped the kernel at ~112^3. This rewrite walks the i-axis in
+B-plane chunks per iteration, so the live set is p (aliased in/out) + rhs
++ O(B)-plane temporaries — the reference's full 200^3 workload
+(3dvof.py:20-22) now fits in the v5e's 128 MB VMEM.
+
+Exact-Jacobi bookkeeping: a chunk updates planes [i0, i0+B) in place after
+reading the extended block [i0-1, i0+B+1). Plane i0-1 was already
+overwritten by the previous chunk, so each chunk stashes the *old* value of
+its last plane in a one-plane scratch and the next chunk splices it back —
+every neighbor read sees previous-iteration values, exactly like the XLA
+path's out-of-place update.
+
+Boundary handling keeps round 1's two tricks (they are load-bearing for
+parity — see the git history of this file):
 - ghost-zeroing instead of edge-zeroed coefficient volumes: the reference
   zeroes the off-diagonal coefficients at the walls (3dvof.py:269-275);
-  equivalently, with *constant* off-diagonal coefficients the same update
-  results if the iterate's ghost ring is zero (the dead coefficient times a
-  zero ghost). The interior iterates are bitwise the products of the same
-  numbers; the ghost ring is re-mirrored by the BC application right after
-  the projection, so no downstream consumer sees the difference.
-- the position-dependent diagonal 1/ap is built arithmetically from iota
-  edge indicators rather than five stored volumes.
-
-Fits whole-volume VMEM up to ~144^3; larger grids use the XLA path
-(solver3d falls back automatically).
+  with *constant* off-diagonals the same numbers result if the iterate's
+  ghost ring is zero. The ghost ring is re-mirrored by the BC application
+  right after the projection, so no downstream consumer sees the change.
+- the position-dependent diagonal 1/ap is selected from the 8
+  f64-precomputed edge-class constants, replicating the XLA path's
+  ((((ae+aw)+an)+a_s)+ab)+af accumulation bit-for-bit after the f32 cast.
 """
 from __future__ import annotations
 
@@ -36,40 +47,72 @@ from ..grid import Grid3D
 __all__ = ["jacobi3d_fits_vmem", "pallas_jacobi_3d"]
 
 
-def jacobi3d_fits_vmem(g: Grid3D) -> bool:
-    """Mosaic's planner keeps ~8 padded volumes live (measured: 136.7 MB at
-    128^3 against the v5e's 128 MB VMEM); admit grids where that fits."""
-    n0 = g.nx + 2
+def _padded_dims(g: Grid3D):
     n1 = ((g.ny + 9) // 8) * 8
     n2 = ((g.nz + 129) // 128) * 128
-    return 8 * n0 * n1 * n2 * 4 <= 120 * 2**20
+    return g.nx + 2, n1, n2
 
 
-def _kernel(p_ref, rhs_ref, out_ref, *, g: Grid3D, n_iter: int):
-    shape = p_ref.shape
+def _vmem_need(g: Grid3D, b: int) -> int:
+    """p (aliased in/out) resident + ~36 chunk-block temporaries (measured:
+    Mosaic's stack at 200^3/B=4 was 125.3M with rhs also resident, i.e.
+    ~32 blocks beyond the volumes; rhs is now streamed from HBM)."""
+    n0, n1, n2 = _padded_dims(g)
+    vol = n0 * n1 * n2 * 4
+    return vol + 36 * (b + 2) * n1 * n2 * 4
+
+
+def _pick_chunk(nx: int, g: Grid3D | None = None) -> int | None:
+    """Largest divisor chunk whose working set fits VMEM (smaller chunks
+    shrink only the temporaries; p and rhs stay whole-volume)."""
+    for b in (8, 4, 2, 1):
+        if nx % b == 0 and (g is None or _vmem_need(g, b) <= 120 * 2**20):
+            return b
+    return None
+
+
+def jacobi3d_fits_vmem(g: Grid3D) -> bool:
+    return _pick_chunk(g.nx, g) is not None
+
+
+def _kernel(p_ref, rhs_ref, out_ref, wplane, rhs_buf, sem, *, g: Grid3D,
+            n_iter: int, B: int):
+    # plane dims from the (possibly lane/sublane-padded) buffers; masks use
+    # explicit grid bounds so the pad region is held at zero
+    n1p, n2p = p_ref.shape[1], p_ref.shape[2]
     dtype = p_ref.dtype
+    nc = g.nx // B
+    bshape = (B, n1p, n2p)
 
-    # zero the ghost ring of the iterate (stands in for edge-zeroed
-    # coefficients; see module docstring)
-    gi = lax.broadcasted_iota(jnp.int32, shape, 0)
-    gj = lax.broadcasted_iota(jnp.int32, shape, 1)
-    gk = lax.broadcasted_iota(jnp.int32, shape, 2)
-    ghost = (
-        (gi == 0) | (gi == g.nx + 1)
-        | (gj == 0) | (gj == g.ny + 1)
-        | (gk == 0) | (gk == g.nz + 1)
-    )
-    out_ref[:] = jnp.where(ghost, 0.0, p_ref[:])
+    # ---- zero the ghost ring + pad region (chunk-wise; stands in for the
+    # edge-zeroed coefficients — interior values never read a nonzero ghost)
+    j = lax.broadcasted_iota(jnp.int32, bshape, 1)
+    k = lax.broadcasted_iota(jnp.int32, bshape, 2)
+    ghost_jk = (j == 0) | (j >= g.ny + 1) | (k == 0) | (k >= g.nz + 1)
 
-    # diagonal selected from the 8 f64-precomputed edge-class constants,
-    # replicating the XLA path's ((((ae+aw)+an)+a_s)+ab)+af accumulation
-    # (solver3d._poisson_coeffs_3d) so the cast-to-f32 values are identical
-    ishape = (g.nx, g.ny, g.nz)
+    def zero_body(c, _):
+        i0 = 1 + c * B
+        # read the INPUT ref, not the aliased output: the kernel must have a
+        # real use of p_ref or Mosaic elides the input's HBM->VMEM copy and
+        # the aliased buffer starts uninitialized (observed at 128^3: the
+        # all-zero-input probe returned garbage while interpret mode and
+        # 64^3 passed)
+        blk = p_ref[pl.ds(i0, B)]
+        out_ref[pl.ds(i0, B)] = jnp.where(ghost_jk, 0.0, blk)
+        return 0
+
+    lax.fori_loop(0, nc, zero_body, 0)
+    zp = jnp.zeros((1, n1p, n2p), dtype)
+    out_ref[pl.ds(0, 1)] = zp
+    out_ref[pl.ds(g.nx + 1, 1)] = zp
+
+    # ---- the 8 edge-class diagonal constants (f64 accumulation order of
+    # solver3d._poisson_coeffs_3d, cast to the field dtype) ----
     dxi2 = np.float64(g.dxi) ** 2
     dyi2 = np.float64(g.dyi) ** 2
     dzi2 = np.float64(g.dzi) ** 2
 
-    def c(ex, ey, ez):
+    def const(ex, ey, ez):
         t = dxi2 if ex else dxi2 + dxi2
         for _ in range(2 - ey):
             t = t + dyi2
@@ -77,59 +120,88 @@ def _kernel(p_ref, rhs_ref, out_ref, *, g: Grid3D, n_iter: int):
             t = t + dzi2
         return jnp.asarray(-1.0 / t, dtype)
 
-    def edge_mask(axis, n):
-        i = lax.broadcasted_iota(jnp.int32, ishape, axis)
-        return (i == 0) | (i == n - 1)
-
-    ex = edge_mask(0, g.nx)
-    ey = edge_mask(1, g.ny)
-    ez = edge_mask(2, g.nz)
-    ap_inv = jnp.where(
-        ex,
-        jnp.where(ey, jnp.where(ez, c(1, 1, 1), c(1, 1, 0)),
-                  jnp.where(ez, c(1, 0, 1), c(1, 0, 0))),
-        jnp.where(ey, jnp.where(ez, c(0, 1, 1), c(0, 1, 0)),
-                  jnp.where(ez, c(0, 0, 1), c(0, 0, 0))),
-    )
-    rhs = rhs_ref[:]
     cx = jnp.asarray(dxi2, dtype)
     cy = jnp.asarray(dyi2, dtype)
     cz = jnp.asarray(dzi2, dtype)
 
-    def body(_, carry):
-        # subtraction order matches the XLA path: e, w, n, s, f, b
-        p_int = (
-            rhs
-            - cx * out_ref[2:, 1:-1, 1:-1]
-            - cx * out_ref[:-2, 1:-1, 1:-1]
-            - cy * out_ref[1:-1, 2:, 1:-1]
-            - cy * out_ref[1:-1, :-2, 1:-1]
-            - cz * out_ref[1:-1, 1:-1, 2:]
-            - cz * out_ref[1:-1, 1:-1, :-2]
-        ) * ap_inv
-        out_ref[1:-1, 1:-1, 1:-1] = p_int
+    ey = (j == 1) | (j == g.ny)
+    ez = (k == 1) | (k == g.nz)
+
+    def ap_inv_for(i0):
+        gi = lax.broadcasted_iota(jnp.int32, bshape, 0) + i0
+        ex = (gi == 1) | (gi == g.nx)
+        return jnp.where(
+            ex,
+            jnp.where(ey, jnp.where(ez, const(1, 1, 1), const(1, 1, 0)),
+                      jnp.where(ez, const(1, 0, 1), const(1, 0, 0))),
+            jnp.where(ey, jnp.where(ez, const(0, 1, 1), const(0, 1, 0)),
+                      jnp.where(ez, const(0, 0, 1), const(0, 0, 0))),
+        )
+
+    first = lax.broadcasted_iota(jnp.int32, bshape, 0) == 0
+
+    def iter_body(_, carry):
+        # old-west plane for chunk 0 is the (permanently zero) ghost plane
+        wplane[:] = jnp.zeros((1, n1p, n2p), dtype)
+
+        def chunk_body(c, _):
+            i0 = 1 + c * B
+            # read ONLY not-yet-written planes [i0, i0+B+1): chunk c-1 wrote
+            # [i0-B, i0), so no load here ever touches a plane stored through
+            # a dynamic slice earlier in this iteration (a read-after-write
+            # pattern that miscompiled at 128^3 — the west neighbor comes
+            # from the rolling scratch instead)
+            ext = out_ref[pl.ds(i0, B + 1)]
+            center = lax.slice_in_dim(ext, 0, B, axis=0)
+            east = lax.slice_in_dim(ext, 1, B + 1, axis=0)
+            west = jnp.where(first, wplane[:], jnp.roll(center, 1, axis=0))
+            wplane[:] = lax.slice_in_dim(ext, B - 1, B, axis=0)  # old last
+            # rhs streams from HBM per chunk: keeping it VMEM-resident
+            # overflowed the v5e's VMEM at 200^3 by ~1 MB (p + rhs + temps)
+            dma = pltpu.make_async_copy(rhs_ref.at[pl.ds(i0, B)], rhs_buf, sem)
+            dma.start()
+            dma.wait()
+            rhs = rhs_buf[:]
+            # subtraction order matches the XLA path: e, w, n, s, f, b
+            val = (
+                rhs
+                - cx * east
+                - cx * west
+                - cy * jnp.roll(center, -1, axis=1)
+                - cy * jnp.roll(center, 1, axis=1)
+                - cz * jnp.roll(center, -1, axis=2)
+                - cz * jnp.roll(center, 1, axis=2)
+            ) * ap_inv_for(i0)
+            out_ref[pl.ds(i0, B)] = jnp.where(ghost_jk, 0.0, val)
+            return 0
+
+        lax.fori_loop(0, nc, chunk_body, 0)
         return carry
 
-    # rolled loop: inside a kernel there is no per-iteration dispatch cost,
-    # and the fully unrolled form made Mosaic compile times explode at 128^3
-    lax.fori_loop(0, n_iter, body, 0)
+    lax.fori_loop(0, n_iter, iter_body, 0)
 
 
-def pallas_jacobi_3d(g: Grid3D, n_iter: int, p, rhs_int, interpret: bool = False):
-    """p: (nx+2, ny+2, nz+2); rhs_int: interior (nx, ny, nz). Returns the
-    iterated p with a zeroed ghost ring (the caller's BC re-mirrors it)."""
+def pallas_jacobi_3d(g: Grid3D, n_iter: int, p, rhs, interpret: bool = False):
+    """p, rhs: full (nx+2, ny+2, nz+2) volumes; rhs must be zero outside the
+    interior. Returns the iterated p with a zeroed ghost ring (the caller's
+    BC re-mirrors it)."""
+    B = _pick_chunk(g.nx, g)
+    n1p, n2p = p.shape[1], p.shape[2]
     return pl.pallas_call(
-        partial(_kernel, g=g, n_iter=n_iter),
+        partial(_kernel, g=g, n_iter=n_iter, B=B),
         out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        # alias p into the output: the kernel's first statement rewrites the
-        # whole buffer elementwise, so in-place is safe, and it saves one
-        # full volume of VMEM (v5e has 128 MB; 128^3 needs it)
+        scratch_shapes=[pltpu.VMEM((1, n1p, n2p), p.dtype),
+                        pltpu.VMEM((B, n1p, n2p), p.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        # alias p into the output: the ghost-zero pass rewrites the buffer
+        # chunk-wise before the iterations, so in-place is safe, and it
+        # saves one full volume of VMEM
         input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=124 * 2**20),
         interpret=interpret,
-    )(p, rhs_int)
+    )(p, rhs)

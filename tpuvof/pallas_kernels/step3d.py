@@ -1,0 +1,587 @@
+"""Slab-tiled 3-D Pallas kernels: the fused hot path for the 200^3 workload.
+
+The XLA 3-D path collapses to ~70 GB/s effective on every shifted-slice
+stencil pass (BASELINE.md bottleneck analysis), which caps the reference's
+flagship 200^3 dam break (3dvof.py:20-22) at 0.19e9 cell-updates/s. These
+kernels stream i-axis slabs of the (nx+2, ny+2, nz+2) volumes through VMEM
+with manual halo DMA, so each phase costs one HBM round trip at full
+bandwidth instead of one ~70 GB/s pass per shifted operand:
+
+  - predict3d:   materials + upwind momentum predictor (u*, v*, w*) + the
+                 projection rhs, fused (3dvof.py:207-283). Surface-tension
+                 terms are omitted: the reference's 3-D normals kernel is
+                 commented out (3dvof.py:304-332), kappa is identically
+                 zero, and the sigma terms contribute an exact +0.0.
+  - jacobi3d (sibling module, chunked rewrite): all n_jacobi iterations on
+                 a VMEM-resident pressure volume.
+  - correct3d:   velocity correction u = u* - dt/rho_face * grad p
+                 (3dvof.py:286-302).
+  - fct sweeps:  each full 4-pass Rudman/Zalesak sweep as one kernel
+                 (3dvof.py:366-541), sweep direction x/y/z.
+
+Slab scheme: interior planes i in [1, nx] are processed in chunks of B
+planes (B = largest of 8/4/2 dividing nx, _pick_chunk). Inputs live in HBM
+(`pltpu.MemorySpace.HBM`); each chunk DMAs an extended block (chunk + stencil halo in
+i) into VMEM scratch, computes in full-shape roll+mask form (the only form
+Mosaic supports here — no scatter/dynamic_update_slice, see
+step_kernels.py docstring), and DMAs the B result planes back. In-plane
+(j/k) neighbor access is jnp.roll whose wrap junk lands in ghost positions
+that the region masks zero out. The x-direction FCT sweep needs a 3-plane
+i-halo; its first/last chunks use clamped extended blocks with static
+in-block offsets so every ref slice stays in bounds.
+
+Numerics mirror ops/momentum3d.py and ops/fct3d.py expression-for-
+expression; equivalence against the XLA path is pinned by
+tests/test_3d.py (interpret mode on CPU, f64) and the TPU-gated compiled
+tests.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import Fluid
+from ..grid import Grid3D
+from ..ops import mix_properties
+from ..ops.common import clamp01
+
+__all__ = [
+    "step3d_slab_supported",
+    "pallas_predict3d_rhs",
+    "pallas_correct3d",
+    "pallas_fct3d_sweep",
+]
+
+
+def _pick_chunk(nx: int) -> int | None:
+    """Largest slab thickness B in (8, 4, 2) with nx % B == 0 and at least
+    3 chunks (the FCT x-sweep special-cases the first/last chunk)."""
+    for b in (8, 4, 2):
+        if nx % b == 0 and nx // b >= 3:
+            return b
+    return None
+
+
+def step3d_slab_supported(g: Grid3D) -> bool:
+    """Whether the slab kernels can run this grid: a valid chunk size and a
+    per-chunk working set that fits VMEM (it always does for plane sizes up
+    to ~1024^2, far beyond the reference's workloads)."""
+    b = _pick_chunk(g.nx)
+    if b is None:
+        return False
+    plane = (g.ny + 2) * (g.nz + 2) * 4
+    # predict3d holds ~20 chunk-sized blocks live (4 ext inputs + 4 outputs
+    # + temporaries)
+    return 20 * (b + 4) * plane <= 100 * 2**20
+
+
+def _vmem_params(nbytes: int) -> pltpu.CompilerParams:
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(max(int(nbytes), 16 * 2**20), 124 * 2**20)
+    )
+
+
+def _any_specs(n):
+    # big volumes are pinned to HBM: `ANY` lets the compiler put them in
+    # VMEM, which OOMs at 128^3+ (the kernels DMA slabs manually)
+    return [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM) for _ in range(n)]
+
+
+def _copy(src, dst, sem):
+    dma = pltpu.make_async_copy(src, dst, sem)
+    dma.start()
+    return dma
+
+
+def _sh3(x, di=0, dj=0, dk=0):
+    """x[i+di, j+dj, k+dk] with wrap-around; callers mask the junk."""
+    if di:
+        x = jnp.roll(x, -di, axis=0)
+    if dj:
+        x = jnp.roll(x, -dj, axis=1)
+    if dk:
+        x = jnp.roll(x, -dk, axis=2)
+    return x
+
+
+def _iota3(shape, axis):
+    return lax.broadcasted_iota(jnp.int32, shape, axis)
+
+
+# ----------------------------------------------------------------------
+# predict3d: materials + momentum predictor + projection rhs
+# ----------------------------------------------------------------------
+def _predict_block(g: Grid3D, fl: Fluid, dt, u, v, w, F, gi0):
+    """Predictor + rhs over an extended block whose plane l has global
+    i-index gi0 + l. Returns (us, vs, ws, rhs) in block shape with the XLA
+    path's zeros outside the update regions. Planes within stencil reach of
+    the block's i-edges are junk; callers only store planes with a full
+    halo."""
+    shape = F.shape
+    dxi, dyi, dzi = g.dxi, g.dyi, g.dzi
+    gi = _iota3(shape, 0) + gi0
+    j = _iota3(shape, 1)
+    k = _iota3(shape, 2)
+    j_int = (j >= 1) & (j <= g.ny)
+    k_int = (k >= 1) & (k <= g.nz)
+
+    rho, nu = mix_properties(fl, F)
+
+    def U(di=0, dj=0, dk=0):
+        return _sh3(u, di, dj, dk)
+
+    def V(di=0, dj=0, dk=0):
+        return _sh3(v, di, dj, dk)
+
+    def W(di=0, dj=0, dk=0):
+        return _sh3(w, di, dj, dk)
+
+    # ---- u* (3dvof.py:211-241; sigma term exactly 0, kappa never written)
+    v_here = 0.25 * (V(-1, 0, 0) + V(-1, 1, 0) + V(0, 0, 0) + V(0, 1, 0))
+    w_here = 0.25 * (W(-1, 0, 0) + W(-1, 0, 1) + W(0, 0, 0) + W(0, 0, 1))
+    dudx = jnp.where(u > 0, (u - U(-1, 0, 0)) * dxi, (U(1, 0, 0) - u) * dxi)
+    dudy = jnp.where(v_here > 0, (u - U(0, -1, 0)) * dyi, (U(0, 1, 0) - u) * dyi)
+    dudz = jnp.where(w_here > 0, (u - U(0, 0, -1)) * dzi, (U(0, 0, 1) - u) * dzi)
+    us = u + dt * (
+        nu * (U(-1, 0, 0) - 2 * u + U(1, 0, 0)) * dxi**2
+        + nu * (U(0, -1, 0) - 2 * u + U(0, 1, 0)) * dyi**2
+        + nu * (U(0, 0, -1) - 2 * u + U(0, 0, 1)) * dzi**2
+        - u * dudx - v_here * dudy - w_here * dudz
+        + fl.gx
+    )
+    us = jnp.where((gi >= 2) & (gi <= g.nx) & j_int & k_int, us, 0.0)
+
+    # ---- v* ----
+    u_here = 0.25 * (U(0, -1, 0) + U(0, 0, 0) + U(1, -1, 0) + U(1, 0, 0))
+    w_here = 0.25 * (W(0, -1, 1) + W(0, -1, 0) + W(0, 0, 0) + W(0, 0, 1))
+    dvdx = jnp.where(u_here > 0, (v - V(-1, 0, 0)) * dxi, (V(1, 0, 0) - v) * dxi)
+    dvdy = jnp.where(v > 0, (v - V(0, -1, 0)) * dyi, (V(0, 1, 0) - v) * dyi)
+    dvdz = jnp.where(w_here > 0, (v - V(0, 0, -1)) * dzi, (V(0, 0, 1) - v) * dzi)
+    vs = v + dt * (
+        nu * (V(-1, 0, 0) - 2 * v + V(1, 0, 0)) * dxi**2
+        + nu * (V(0, -1, 0) - 2 * v + V(0, 1, 0)) * dyi**2
+        + nu * (V(0, 0, -1) - 2 * v + V(0, 0, 1)) * dzi**2
+        - u_here * dvdx - v * dvdy - w_here * dvdz
+        + fl.gy
+    )
+    vs = jnp.where(
+        (gi >= 1) & (gi <= g.nx) & (j >= 2) & (j <= g.ny) & k_int, vs, 0.0
+    )
+
+    # ---- w* ----
+    u_here = 0.25 * (U(1, 0, -1) + U(0, 0, -1) + U(1, 0, 0) + U(0, 0, 0))
+    v_here = 0.25 * (V(0, 1, -1) + V(0, 0, -1) + V(0, 0, 0) + V(0, 1, 0))
+    dwdx = jnp.where(u_here > 0, (w - W(-1, 0, 0)) * dxi, (W(1, 0, 0) - w) * dxi)
+    dwdy = jnp.where(v_here > 0, (w - W(0, -1, 0)) * dyi, (W(0, 1, 0) - w) * dyi)
+    dwdz = jnp.where(w > 0, (w - W(0, 0, -1)) * dzi, (W(0, 0, 1) - w) * dzi)
+    ws = w + dt * (
+        nu * (W(-1, 0, 0) - 2 * w + W(1, 0, 0)) * dxi**2
+        + nu * (W(0, -1, 0) - 2 * w + W(0, 1, 0)) * dyi**2
+        + nu * (W(0, 0, -1) - 2 * w + W(0, 0, 1)) * dzi**2
+        - u_here * dwdx - v_here * dwdy - w * dwdz
+        + fl.gz
+    )
+    ws = jnp.where(
+        (gi >= 1) & (gi <= g.nx) & j_int & (k >= 2) & (k <= g.nz), ws, 0.0
+    )
+
+    # ---- projection rhs (solver3d._solve_pressure_3d) — needs us at i+1,
+    # which the masks above make exactly zero at gi = nx+1, matching the
+    # XLA path's zeros_like-based u_star
+    rhs = rho / dt * (
+        (_sh3(us, 1, 0, 0) - us) * dxi
+        + (_sh3(vs, 0, 1, 0) - vs) * dyi
+        + (_sh3(ws, 0, 0, 1) - ws) * dzi
+    )
+    rhs = jnp.where((gi >= 1) & (gi <= g.nx) & j_int & k_int, rhs, 0.0)
+    return us, vs, ws, rhs
+
+
+def _predict_kernel(u_hbm, v_hbm, w_hbm, F_hbm,
+                    us_hbm, vs_hbm, ws_hbm, rhs_hbm,
+                    ub, vb, wb, Fb, usb, vsb, wsb, rhsb, zplane,
+                    sems, osems,
+                    *, g: Grid3D, fl: Fluid, dt, B: int):
+    """Slab loop. Ext block covers [i0-2, i0+B+2) (B+4 planes) so the rhs
+    of every stored plane sees a valid u*(i+1); first/last chunks use
+    clamped ext ranges with static in-block offsets."""
+    n0 = g.nx + 2
+    nc = g.nx // B
+    E = B + 4
+
+    def process(ext_start, off):  # plane dims come from the scratch shapes
+        ins = [_copy(h.at[pl.ds(ext_start, E)], b, sems.at[i])
+               for i, (h, b) in enumerate(
+                   ((u_hbm, ub), (v_hbm, vb), (w_hbm, wb), (F_hbm, Fb)))]
+        for d in ins:
+            d.wait()
+        us, vs, ws, rhs = _predict_block(
+            g, fl, dt, ub[:], vb[:], wb[:], Fb[:], ext_start)
+        usb[:] = lax.slice_in_dim(us, off, off + B, axis=0)
+        vsb[:] = lax.slice_in_dim(vs, off, off + B, axis=0)
+        wsb[:] = lax.slice_in_dim(ws, off, off + B, axis=0)
+        rhsb[:] = lax.slice_in_dim(rhs, off, off + B, axis=0)
+        i0 = ext_start + off
+        outs = [_copy(b, h.at[pl.ds(i0, B)], osems.at[i])
+                for i, (b, h) in enumerate(
+                    ((usb, us_hbm), (vsb, vs_hbm), (wsb, ws_hbm),
+                     (rhsb, rhs_hbm)))]
+        for d in outs:
+            d.wait()
+
+    # first chunk: ext [0, E), i0 = 1
+    process(0, 1)
+
+    # middle chunks: ext [i0-2, i0+B+2)
+    def body(c, _):
+        process(1 + c * B - 2, 2)
+        return 0
+
+    lax.fori_loop(1, nc - 1, body, 0)
+
+    # last chunk: ext [n0-E, n0), i0 = nx+1-B
+    process(n0 - E, (g.nx + 1 - B) - (n0 - E))
+
+    # ghost planes of every output are defined-zero (the XLA path's
+    # zeros_like base); downstream never reads them but metrics/tests may
+    zplane[:] = jnp.zeros_like(zplane)
+    gz = []
+    for i, h in enumerate((us_hbm, vs_hbm, ws_hbm, rhs_hbm)):
+        gz.append(_copy(zplane, h.at[pl.ds(0, 1)], sems.at[i]))
+        gz.append(_copy(zplane, h.at[pl.ds(n0 - 1, 1)], osems.at[i]))
+    for d in gz:
+        d.wait()
+
+
+def pallas_predict3d_rhs(g: Grid3D, fl: Fluid, dt, u, v, w, F,
+                         interpret: bool = False):
+    """Returns (u_star, v_star, w_star, rhs), all full-shape."""
+    B = _pick_chunk(g.nx)
+    shape = jax.ShapeDtypeStruct(F.shape, F.dtype)
+    E = B + 4
+    plane = F.shape[1:]
+    blk = lambda n: pltpu.VMEM((n, *plane), F.dtype)  # noqa: E731
+    return pl.pallas_call(
+        partial(_predict_kernel, g=g, fl=fl, dt=dt, B=B),
+        out_shape=(shape,) * 4,
+        in_specs=_any_specs(4),
+        out_specs=tuple(_any_specs(4)),
+        scratch_shapes=[
+            blk(E), blk(E), blk(E), blk(E),          # ext inputs
+            blk(B), blk(B), blk(B), blk(B),          # output staging
+            blk(1),                                   # zero plane
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=_vmem_params(44 * E * plane[0] * plane[1] * 4),
+        interpret=interpret,
+    )(u, v, w, F)
+
+
+# ----------------------------------------------------------------------
+# correct3d: velocity correction (3dvof.py:286-302)
+# ----------------------------------------------------------------------
+
+
+def _correct_kernel(us_hbm, vs_hbm, ws_hbm, p_hbm, F_hbm,
+                    u_hbm, v_hbm, w_hbm,
+                    usb, vsb, wsb, pb, Fb, ub, vb, wb, zplane,
+                    sems, osems,
+                    *, g: Grid3D, fl: Fluid, dt, B: int):
+    n0 = g.nx + 2
+    nc = g.nx // B
+
+    def body(c, _):
+        i0 = 1 + c * B
+        ins = [
+            _copy(us_hbm.at[pl.ds(i0, B)], usb, sems.at[0]),
+            _copy(vs_hbm.at[pl.ds(i0, B)], vsb, sems.at[1]),
+            _copy(ws_hbm.at[pl.ds(i0, B)], wsb, sems.at[2]),
+            _copy(p_hbm.at[pl.ds(i0 - 1, B + 1)], pb, sems.at[3]),
+            _copy(F_hbm.at[pl.ds(i0 - 1, B + 1)], Fb, sems.at[4]),
+        ]
+        for d in ins:
+            d.wait()
+
+        rho, _ = mix_properties(fl, Fb[:])
+        p = pb[:]
+        p_c = lax.slice_in_dim(p, 1, B + 1, axis=0)
+        p_w = lax.slice_in_dim(p, 0, B, axis=0)
+        r_c = lax.slice_in_dim(rho, 1, B + 1, axis=0)
+        r_w = lax.slice_in_dim(rho, 0, B, axis=0)
+
+        shape = usb.shape
+        gi = _iota3(shape, 0) + i0
+        j = _iota3(shape, 1)
+        k = _iota3(shape, 2)
+        j_int = (j >= 1) & (j <= g.ny)
+        k_int = (k >= 1) & (k <= g.nz)
+        i_int = (gi >= 1) & (gi <= g.nx)
+
+        u = usb[:] - dt / ((r_c + r_w) * 0.5) * (p_c - p_w) * g.dxi
+        ub[:] = jnp.where((gi >= 2) & (gi <= g.nx) & j_int & k_int, u, 0.0)
+        v = vsb[:] - dt / ((r_c + _sh3(r_c, 0, -1, 0)) * 0.5) * (
+            p_c - _sh3(p_c, 0, -1, 0)) * g.dyi
+        vb[:] = jnp.where(i_int & (j >= 2) & (j <= g.ny) & k_int, v, 0.0)
+        w = wsb[:] - dt / ((r_c + _sh3(r_c, 0, 0, -1)) * 0.5) * (
+            p_c - _sh3(p_c, 0, 0, -1)) * g.dzi
+        wb[:] = jnp.where(i_int & j_int & (k >= 2) & (k <= g.nz), w, 0.0)
+
+        outs = [
+            _copy(ub, u_hbm.at[pl.ds(i0, B)], osems.at[0]),
+            _copy(vb, v_hbm.at[pl.ds(i0, B)], osems.at[1]),
+            _copy(wb, w_hbm.at[pl.ds(i0, B)], osems.at[2]),
+        ]
+        for d in outs:
+            d.wait()
+        return 0
+
+    lax.fori_loop(0, nc, body, 0)
+
+    zplane[:] = jnp.zeros_like(zplane)
+    gz = []
+    for i, h in enumerate((u_hbm, v_hbm, w_hbm)):
+        gz.append(_copy(zplane, h.at[pl.ds(0, 1)], sems.at[i]))
+        gz.append(_copy(zplane, h.at[pl.ds(n0 - 1, 1)], osems.at[i]))
+    for d in gz:
+        d.wait()
+
+
+def pallas_correct3d(g: Grid3D, fl: Fluid, dt, u_star, v_star, w_star, p, F,
+                     interpret: bool = False):
+    """Returns (u, v, w): zero outside the update regions — every such
+    position (wall faces and ghosts) is rewritten by the apply_bc_3d that
+    immediately follows in the step (solver3d.step_3d)."""
+    B = _pick_chunk(g.nx)
+    shape = jax.ShapeDtypeStruct(F.shape, F.dtype)
+    plane = F.shape[1:]
+    blk = lambda n: pltpu.VMEM((n, *plane), F.dtype)  # noqa: E731
+    return pl.pallas_call(
+        partial(_correct_kernel, g=g, fl=fl, dt=dt, B=B),
+        out_shape=(shape,) * 3,
+        in_specs=_any_specs(5),
+        out_specs=tuple(_any_specs(3)),
+        scratch_shapes=[
+            blk(B), blk(B), blk(B), blk(B + 1), blk(B + 1),
+            blk(B), blk(B), blk(B), blk(1),
+            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=_vmem_params(36 * (B + 1) * plane[0] * plane[1] * 4),
+        interpret=interpret,
+    )(u_star, v_star, w_star, p, F)
+
+
+# ----------------------------------------------------------------------
+# FCT sweeps (3dvof.py:366-541) — mirrors ops/fct3d._sweep3d_axis0
+# ----------------------------------------------------------------------
+
+
+
+def _fct_x_kernel(F_hbm, u_hbm, out_hbm, Fb, ubuf, ob, gplane,
+                  sems, osems, *, g: Grid3D, vol, dv_area, flux_scale,
+                  q_scale, final_div, dt, B: int):
+    """x-sweep: shifts run along the slab axis, so chunks carry a 3-plane
+    halo. First/last chunks clamp the ext range with static offsets."""
+    n0 = g.nx + 2
+    nc = g.nx // B
+    E = B + 6
+    shape = Fb.shape
+
+    def process(ext_start, off):
+        d1 = _copy(F_hbm.at[pl.ds(ext_start, E)], Fb, sems.at[0])
+        d2 = _copy(u_hbm.at[pl.ds(ext_start, E)], ubuf, sems.at[1])
+        d1.wait()
+        d2.wait()
+        gi = _iota3(shape, 0) + ext_start
+        j = _iota3(shape, 1)
+        k = _iota3(shape, 2)
+        o_int = (j >= 1) & (j <= g.ny) & (k >= 1) & (k <= g.nz)
+        F = Fb[:]
+        vel = ubuf[:]
+
+        F_up = _sh3(F, -1, 0, 0)
+        fL = vel * dt * jnp.where(vel >= 0, F_up, F)
+        fH = vel * dt * jnp.where(vel <= 0, F_up, F)
+        a = jnp.where((gi >= 1) & o_int, fH - fL, 0.0)
+        dv = vol - dt * dv_area * (_sh3(vel, 1, 0, 0) - vel)
+        ftd = clamp01((F + (fL - _sh3(fL, 1, 0, 0)) * flux_scale) * vol / dv)
+        int_m = (gi >= 1) & (gi <= g.nx) & o_int
+        Ftd = jnp.where(int_m, ftd, 0.0)
+        fmax = jnp.maximum(Ftd, jnp.maximum(_sh3(Ftd, -1, 0, 0),
+                                            _sh3(Ftd, 1, 0, 0)))
+        fmin = jnp.minimum(Ftd, jnp.minimum(_sh3(Ftd, -1, 0, 0),
+                                            _sh3(Ftd, 1, 0, 0)))
+        a_hi = _sh3(a, 1, 0, 0)
+        pp = jnp.maximum(0.0, a) - jnp.minimum(0.0, a_hi)
+        qp = (fmax - Ftd) * q_scale
+        rp = jnp.where(int_m & (pp > 0),
+                       jnp.minimum(1.0, qp / jnp.where(pp > 0, pp, 1.0)), 0.0)
+        pm = jnp.maximum(0.0, a_hi) - jnp.minimum(0.0, a)
+        qm = (Ftd - fmin) * q_scale
+        rm = jnp.where(int_m & (pm > 0),
+                       jnp.minimum(1.0, qm / jnp.where(pm > 0, pm, 1.0)), 0.0)
+        c = jnp.where(
+            (gi >= 1) & o_int,
+            jnp.where(a >= 0,
+                      jnp.minimum(rp, _sh3(rm, -1, 0, 0)),
+                      jnp.minimum(_sh3(rp, -1, 0, 0), rm)),
+            0.0,
+        )
+        corr = (_sh3(a, 1, 0, 0) * _sh3(c, 1, 0, 0) - a * c) / final_div
+        f_new = jnp.where(int_m, clamp01(Ftd - corr * vol / dv), F)
+        ob[:] = lax.slice_in_dim(f_new, off, off + B, axis=0)
+        d = _copy(ob, out_hbm.at[pl.ds(ext_start + off, B)], osems.at[0])
+        d.wait()
+
+    process(0, 1)  # first chunk: i0 = 1
+
+    def body(c, _):
+        process(1 + c * B - 3, 3)
+        return 0
+
+    lax.fori_loop(1, nc - 1, body, 0)
+    process(n0 - E, (g.nx + 1 - B) - (n0 - E))  # last chunk
+
+    # ghost planes carry the input F through (BC-mirrored pre-sweep values,
+    # exactly what the XLA path's interior-only .set leaves in place)
+    d1 = _copy(F_hbm.at[pl.ds(0, 1)], gplane, sems.at[0])
+    d1.wait()
+    d2 = _copy(gplane, out_hbm.at[pl.ds(0, 1)], osems.at[0])
+    d2.wait()
+    d1 = _copy(F_hbm.at[pl.ds(n0 - 1, 1)], gplane, sems.at[0])
+    d1.wait()
+    d2 = _copy(gplane, out_hbm.at[pl.ds(n0 - 1, 1)], osems.at[0])
+    d2.wait()
+
+
+def _fct_yz_kernel(F_hbm, vel_hbm, out_hbm, Fb, vbuf, gplane, sems, osems,
+                   *, g: Grid3D, axis: int, vol, dv_area, flux_scale,
+                   q_scale, final_div, dt, B: int):
+    """y- or z-sweep: shifts are in-plane (sublane/lane rolls), so chunks
+    need no i-halo at all."""
+    n0 = g.nx + 2
+    nc = g.nx // B
+    shape = Fb.shape
+    n_sweep = g.ny if axis == 1 else g.nz
+    o_hi = g.nz if axis == 1 else g.ny  # interior bound of the other in-plane axis
+
+    def body(c, _):
+        i0 = 1 + c * B
+        d1 = _copy(F_hbm.at[pl.ds(i0, B)], Fb, sems.at[0])
+        d2 = _copy(vel_hbm.at[pl.ds(i0, B)], vbuf, sems.at[1])
+        d1.wait()
+        d2.wait()
+        idx = _iota3(shape, axis)
+        oth = 2 if axis == 1 else 1
+        io = _iota3(shape, oth)
+        o_int = (io >= 1) & (io <= o_hi)
+
+        def sh(x, d):
+            return _sh3(x, 0, d if axis == 1 else 0, d if axis == 2 else 0)
+
+        F = Fb[:]
+        vel = vbuf[:]
+        F_up = sh(F, -1)
+        fL = vel * dt * jnp.where(vel >= 0, F_up, F)
+        fH = vel * dt * jnp.where(vel <= 0, F_up, F)
+        a = jnp.where((idx >= 1) & o_int, fH - fL, 0.0)
+        dv = vol - dt * dv_area * (sh(vel, 1) - vel)
+        ftd = clamp01((F + (fL - sh(fL, 1)) * flux_scale) * vol / dv)
+        int_m = (idx >= 1) & (idx <= n_sweep) & o_int
+        Ftd = jnp.where(int_m, ftd, 0.0)
+        fmax = jnp.maximum(Ftd, jnp.maximum(sh(Ftd, -1), sh(Ftd, 1)))
+        fmin = jnp.minimum(Ftd, jnp.minimum(sh(Ftd, -1), sh(Ftd, 1)))
+        a_hi = sh(a, 1)
+        pp = jnp.maximum(0.0, a) - jnp.minimum(0.0, a_hi)
+        qp = (fmax - Ftd) * q_scale
+        rp = jnp.where(int_m & (pp > 0),
+                       jnp.minimum(1.0, qp / jnp.where(pp > 0, pp, 1.0)), 0.0)
+        pm = jnp.maximum(0.0, a_hi) - jnp.minimum(0.0, a)
+        qm = (Ftd - fmin) * q_scale
+        rm = jnp.where(int_m & (pm > 0),
+                       jnp.minimum(1.0, qm / jnp.where(pm > 0, pm, 1.0)), 0.0)
+        c_ = jnp.where(
+            (idx >= 1) & o_int,
+            jnp.where(a >= 0,
+                      jnp.minimum(rp, sh(rm, -1)),
+                      jnp.minimum(sh(rp, -1), rm)),
+            0.0,
+        )
+        corr = (sh(a, 1) * sh(c_, 1) - a * c_) / final_div
+        f_new = jnp.where(int_m, clamp01(Ftd - corr * vol / dv), F)
+        # only interior planes are stored; plane-level ghosts in j/k kept
+        # from F by the masks above
+        Fb[:] = f_new
+        d = _copy(Fb, out_hbm.at[pl.ds(i0, B)], osems.at[0])
+        d.wait()
+        return 0
+
+    lax.fori_loop(0, nc, body, 0)
+
+    d1 = _copy(F_hbm.at[pl.ds(0, 1)], gplane, sems.at[0])
+    d1.wait()
+    d2 = _copy(gplane, out_hbm.at[pl.ds(0, 1)], osems.at[0])
+    d2.wait()
+    d1 = _copy(F_hbm.at[pl.ds(n0 - 1, 1)], gplane, sems.at[0])
+    d1.wait()
+    d2 = _copy(gplane, out_hbm.at[pl.ds(n0 - 1, 1)], osems.at[0])
+    d2.wait()
+
+
+def pallas_fct3d_sweep(g: Grid3D, dt, F, vel, axis: int,
+                       interpret: bool = False):
+    """One Rudman FCT sweep along `axis` (0=x, 1=y, 2=z) with the
+    reference's literal (non-uniform) scale factors — see ops/fct3d.py."""
+    B = _pick_chunk(g.nx)
+    vol = g.dx * g.dy * g.dz
+    if axis == 0:
+        scales = dict(vol=vol, dv_area=g.dy * g.dz,
+                      flux_scale=g.dy * g.dz / vol, q_scale=g.dx,
+                      final_div=g.dy)
+    elif axis == 1:
+        # 2-D flux scale dy/(dx*dy) kept from the reference (3dvof.py:438)
+        scales = dict(vol=vol, dv_area=g.dx * g.dz,
+                      flux_scale=g.dy / (g.dx * g.dy), q_scale=g.dx,
+                      final_div=g.dy)
+    else:
+        scales = dict(vol=vol, dv_area=g.dx * g.dy,
+                      flux_scale=g.dy * g.dx / vol, q_scale=g.dz,
+                      final_div=g.dz)
+
+    shape = jax.ShapeDtypeStruct(F.shape, F.dtype)
+    plane = F.shape[1:]
+    blk = lambda n: pltpu.VMEM((n, *plane), F.dtype)  # noqa: E731
+    if axis == 0:
+        E = B + 6
+        return pl.pallas_call(
+            partial(_fct_x_kernel, g=g, dt=dt, B=B, **scales),
+            out_shape=shape,
+            in_specs=_any_specs(2),
+            out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            scratch_shapes=[
+                blk(E), blk(E), blk(B), blk(1),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((1,)),
+            ],
+            compiler_params=_vmem_params(32 * E * plane[0] * plane[1] * 4),
+            interpret=interpret,
+        )(F, vel)
+    return pl.pallas_call(
+        partial(_fct_yz_kernel, g=g, axis=axis, dt=dt, B=B, **scales),
+        out_shape=shape,
+        in_specs=_any_specs(2),
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        scratch_shapes=[
+            blk(B), blk(B), blk(1),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        compiler_params=_vmem_params(32 * B * plane[0] * plane[1] * 4),
+        interpret=interpret,
+    )(F, vel)

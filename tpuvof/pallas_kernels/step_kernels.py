@@ -38,6 +38,8 @@ __all__ = [
     "pallas_fct_sweep_x",
     "pallas_fct_sweep_y",
     "pallas_predict",
+    "pallas_fullstep_win",
+    "step_halo_width",
 ]
 
 
@@ -73,21 +75,30 @@ def _sh(x, di=0, dj=0):
     return x
 
 
-def _region(shape, r0, r1, c0, c1):
-    row = _iota(shape, 0)
-    col = _iota(shape, 1)
+def _region(shape, r0, r1, c0, c1, oi=0, oj=0):
+    """Mask of GLOBAL index box [r0,r1) x [c0,c1); (oi, oj) is the global
+    index of the block's (0, 0) entry — 0 for the serial whole-grid kernels
+    (identical masks), a traced shard offset for the windowed per-shard
+    kernel (pallas_fullstep_win)."""
+    row = _iota(shape, 0) + oi
+    col = _iota(shape, 1) + oj
     return (row >= r0) & (row < r1) & (col >= c0) & (col < c1)
 
 
-def _inline_poisson_coeffs(g: Grid2D, dtype):
+def _inline_poisson_coeffs(g: Grid2D, dtype, shape_int=None, oi=0, oj=0):
     """The Neumann-edge-zeroed 5-point coefficients, built in-kernel from
     iota masks (no HBM inputs). Bitwise identical to
     ops.poisson.poisson_coefficients: the edge-dependent ap_inv values are
     precomputed as float64 Python scalars and cast, matching the f64-then-
     cast array construction; TPU kernels cannot do f64 arithmetic, so the
-    selection happens between ready-made constants."""
-    col = _iota((g.nx, g.ny), 0)
-    row = _iota((g.nx, g.ny), 1)
+    selection happens between ready-made constants.
+
+    ``shape_int``/``oi``/``oj``: block-interior shape and the global index
+    of the block origin for the windowed per-shard kernel (edge-zeroing
+    happens at GLOBAL walls only)."""
+    shape_int = shape_int or (g.nx, g.ny)
+    col = _iota(shape_int, 0) + oi
+    row = _iota(shape_int, 1) + oj
     east = col == g.nx - 1
     west = col == 0
     north = row == g.ny - 1
@@ -183,19 +194,25 @@ def project_pressure_and_correct(cfg: SimConfig, F, u_star, v_star, p, u, v,
 # Fused FCT sweeps: the whole 4-pass sweep as one kernel (2dvof.py:321-448)
 # in full-shape roll+mask form (mirrors ops/fct._sweep_axis0 exactly).
 # ----------------------------------------------------------------------
-def _sweep_body(dx, dy, dt, var: FCTVariant, axis: int, F, u):
-    """One FCT sweep as a pure value function (full-shape roll+mask form)."""
+def _sweep_body(dx, dy, dt, var: FCTVariant, axis: int, F, u,
+                n_axis=None, n_other=None, off_axis=0, off_other=0):
+    """One FCT sweep as a pure value function (full-shape roll+mask form).
+
+    ``n_axis``/``n_other``: GLOBAL interior extents (default: derived from
+    the block shape, i.e. the serial whole-grid case); ``off_*``: global
+    index of the block origin (windowed per-shard kernel)."""
     shape = F.shape
-    n = shape[axis]
+    n_ax = shape[axis] - 2 if n_axis is None else n_axis
+    n_ot = shape[1 - axis] - 2 if n_other is None else n_other
 
     def sh(x, d):
         return _sh(x, d, 0) if axis == 0 else _sh(x, 0, d)
 
-    idx = _iota(shape, axis)
-    odx = _iota(shape, 1 - axis)
-    o_int = (odx >= 1) & (odx <= shape[1 - axis] - 2)
-    interior = (idx >= 1) & (idx <= n - 2) & o_int
-    face = (idx >= 1) & o_int  # faces 1 .. n0+1
+    idx = _iota(shape, axis) + off_axis
+    odx = _iota(shape, 1 - axis) + off_other
+    o_int = (odx >= 1) & (odx <= n_ot)
+    interior = (idx >= 1) & (idx <= n_ax) & o_int
+    face = (idx >= 1) & o_int  # faces 1 .. n+1
 
     # face fluxes (upwind low-order, downwind high-order donors)
     F_up = sh(F, -1)  # donor below the face
@@ -282,17 +299,18 @@ def pallas_fct_sweep_y(cfg: SimConfig, F, v, interpret: bool = False):
 # Fused predictor: materials + Youngs normals + curvature + momentum
 # (2dvof.py:198-233 + 283-309 as one kernel), roll+mask form.
 # ----------------------------------------------------------------------
-def _predict_body(cfg: SimConfig, u, v, F):
+def _predict_body(cfg: SimConfig, u, v, F, oi=0, oj=0):
     """Materials + Youngs normals + curvature + momentum predictor as a
     pure value function; returns masked (u_star, v_star) full-shape values
-    plus rho (reused by the projection)."""
+    plus rho (reused by the projection). (oi, oj): global index of the
+    block origin (0 for the serial whole-grid kernels)."""
     g, fl, nm = cfg.grid, cfg.fluid, cfg.num
     shape = F.shape
     dt = nm.dt
     dxi, dyi = g.dxi, g.dyi
     rho, nu = mix_properties(fl, F)
 
-    interior = _region(shape, 1, g.nx + 1, 1, g.ny + 1)
+    interior = _region(shape, 1, g.nx + 1, 1, g.ny + 1, oi, oj)
 
     # ---- Youngs corner gradients (full shape; junk masked) ----
     inv2dx = 1.0 / (2.0 * g.dx)
@@ -356,8 +374,8 @@ def _predict_body(cfg: SimConfig, u, v, F):
         + fy_kappa * 2.0 / (rho + _sh(rho, 0, -1))
     )
 
-    us = jnp.where(_region(shape, 2, g.nx + 1, 1, g.ny + 1), us, 0.0)
-    vs = jnp.where(_region(shape, 1, g.nx + 1, 2, g.ny + 1), vs, 0.0)
+    us = jnp.where(_region(shape, 2, g.nx + 1, 1, g.ny + 1, oi, oj), us, 0.0)
+    vs = jnp.where(_region(shape, 1, g.nx + 1, 2, g.ny + 1, oi, oj), vs, 0.0)
     return us, vs, rho
 
 
@@ -384,15 +402,16 @@ def pallas_predict(cfg: SimConfig, u, v, F, interpret: bool = False):
 # sweeps + wall BCs in ONE kernel. HBM traffic per step collapses to the
 # state pytree itself (4 reads + 4 writes).
 # ----------------------------------------------------------------------
-def _bc_values(g: Grid2D, u, v, F, p):
+def _bc_values(g: Grid2D, u, v, F, p, oi=0, oj=0):
     """apply_bc as a pure value function in roll+mask form (exact serial
     corner ordering: j-boundaries first, then i-boundaries reading the
-    updated values)."""
+    updated values). Wall positions are GLOBAL indices (offset by oi/oj
+    for the windowed per-shard kernel)."""
     shape = u.shape
-    row = _iota(shape, 0)
-    col = _iota(shape, 1)
-    i_hi = shape[0] - 1
-    j_hi = shape[1] - 1
+    row = _iota(shape, 0) + oi
+    col = _iota(shape, 1) + oj
+    i_hi = g.nx + 1
+    j_hi = g.ny + 1
 
     def mirror_j(a):
         a = jnp.where(col == 0, _sh(a, 0, 1), a)
@@ -490,3 +509,110 @@ def pallas_fullstep(cfg: SimConfig, F, u, v, p, even_step: bool,
         compiler_params=_compiler_params(F, 40),
         interpret=interpret,
     )(F, u, v, p)
+
+
+# ----------------------------------------------------------------------
+# Windowed whole-step kernel: the per-shard engine of the distributed
+# pallas path (VERDICT r1 #3). A shard ships ONE wide halo covering the
+# entire lean step's dependency cone (predict 3 + rhs 1 + n_jacobi + 
+# correct 1 + two sweeps 3+3), runs this kernel on the extended block with
+# every mask evaluated at GLOBAL indices, and keeps only the fully-valid
+# center. Junk in the cone margin (including any inf from junk-operand
+# divisions) erodes inward at most one cell per stencil pass and never
+# reaches the kept region. Serial kernels are the oi=oj=0 special case of
+# the same bodies (bit-identical masks).
+# ----------------------------------------------------------------------
+def step_halo_width(cfg: SimConfig) -> int:
+    """L-inf dependency radius of one lean step."""
+    return cfg.num.n_jacobi + 12
+
+
+def _fullstep_win_kernel(oi_ref, oj_ref, F_ref, u_ref, v_ref, p_ref,
+                         F_out, u_out, v_out, p_out,
+                         *, cfg: SimConfig, even_step: bool):
+    g, fl, nm = cfg.grid, cfg.fluid, cfg.num
+    oi = oi_ref[0, 0]
+    oj = oj_ref[0, 0]
+    F = F_ref[:]
+    u = u_ref[:]
+    v = v_ref[:]
+    shape = F.shape
+    dt = nm.dt
+
+    us, vs, rho = _predict_body(cfg, u, v, F, oi, oj)
+
+    rhs = (
+        rho[1:-1, 1:-1]
+        / dt
+        * (
+            (us[2:, 1:-1] - us[1:-1, 1:-1]) * g.dxi
+            + (vs[1:-1, 2:] - vs[1:-1, 1:-1]) * g.dyi
+        )
+    )
+    ae, aw, an, a_s, ap_inv = _inline_poisson_coeffs(
+        g, p_ref.dtype, shape_int=(shape[0] - 2, shape[1] - 2), oi=oi, oj=oj)
+    p_out[:] = p_ref[:]
+
+    def body(_, carry):
+        p_int = (
+            rhs
+            - ae * p_out[2:, 1:-1]
+            - aw * p_out[:-2, 1:-1]
+            - an * p_out[1:-1, 2:]
+            - a_s * p_out[1:-1, :-2]
+        ) * ap_inv
+        p_out[1:-1, 1:-1] = p_int
+        return carry
+
+    lax.fori_loop(0, nm.n_jacobi, body, 0, unroll=True)
+    p = p_out[:]
+
+    r_u = (rho + _sh(rho, -1, 0)) * 0.5
+    u_corr = us - dt / r_u * (p - _sh(p, -1, 0)) * g.dxi
+    u = jnp.where(_region(shape, 2, g.nx + 1, 1, g.ny + 1, oi, oj), u_corr, u)
+    r_v = (rho + _sh(rho, 0, -1)) * 0.5
+    v_corr = vs - dt / r_v * (p - _sh(p, 0, -1)) * g.dyi
+    v = jnp.where(_region(shape, 1, g.nx + 1, 2, g.ny + 1, oi, oj), v_corr, v)
+
+    def sweep_x(F):
+        return _sweep_body(g.dx, g.dy, dt, nm.fct, 0, F, u,
+                           n_axis=g.nx, n_other=g.ny,
+                           off_axis=oi, off_other=oj)
+
+    def sweep_y(F):
+        return _sweep_body(g.dy, g.dx, dt, nm.fct, 1, F, v,
+                           n_axis=g.ny, n_other=g.nx,
+                           off_axis=oj, off_other=oi)
+
+    if even_step:
+        F = sweep_y(F)
+        F = sweep_x(F)
+    else:
+        F = sweep_x(F)
+        F = sweep_y(F)
+    F = clamp01(F)
+
+    u, v, F, p = _bc_values(g, u, v, F, p, oi, oj)
+    F_out[:] = F
+    u_out[:] = u
+    v_out[:] = v
+    p_out[:] = p
+
+
+def pallas_fullstep_win(cfg: SimConfig, F, u, v, p, oi, oj,
+                        even_step: bool, interpret: bool = False):
+    """One lean step on a halo-extended block; (oi, oj) are traced global
+    indices of the block origin. Returns the full extended block — callers
+    keep [W:-W, W:-W] with W = step_halo_width(cfg)."""
+    shape = jax.ShapeDtypeStruct(F.shape, F.dtype)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    oi = jnp.asarray(oi, jnp.int32).reshape(1, 1)
+    oj = jnp.asarray(oj, jnp.int32).reshape(1, 1)
+    return pl.pallas_call(
+        partial(_fullstep_win_kernel, cfg=cfg, even_step=even_step),
+        out_shape=(shape,) * 4,
+        in_specs=[smem, smem] + _vmem_specs(4),
+        out_specs=tuple(_vmem_specs(4)),
+        compiler_params=_compiler_params(F, 40),
+        interpret=interpret,
+    )(oi, oj, F, u, v, p)

@@ -7,6 +7,7 @@ ghost cells filled by `ppermute` halo exchanges riding ICI.
 """
 from .halo import HaloSpec, exchange
 from .dist import Decomp
+from .dist3d import Decomp3D
 from .mesh import make_mesh
 
-__all__ = ["HaloSpec", "exchange", "Decomp", "make_mesh"]
+__all__ = ["HaloSpec", "exchange", "Decomp", "Decomp3D", "make_mesh"]

@@ -32,6 +32,7 @@ from ..ops.fct import fct_sweep_x, fct_sweep_y
 from ..ops.momentum import predict_velocity_interior, correct_velocity_interior
 from ..ops.normals import young_normals_curvature
 from .halo import HaloSpec, exchange
+from .halo import _shift as _hshift
 
 __all__ = ["Decomp"]
 
@@ -57,7 +58,15 @@ class _LocalGrid:
 
 
 class Decomp:
-    """Domain decomposition of a SimConfig over a 2-D device mesh."""
+    """Domain decomposition of a SimConfig over a 2-D device mesh.
+
+    ``cfg.num.backend`` selects the per-shard engine: 'xla' composes the
+    XLA ops with per-phase halo exchanges; 'pallas'/'pallas_mono' runs the
+    whole lean step per shard as ONE windowed VMEM kernel
+    (pallas_kernels.pallas_fullstep_win) — each step ships a single wide
+    halo covering the full dependency cone (W = n_jacobi + 12) and keeps
+    the valid center, so the fused-kernel throughput of the serial mono
+    path carries over to the sharded grid with one exchange per step."""
 
     def __init__(self, cfg: SimConfig, mesh: Mesh):
         self.cfg = cfg
@@ -256,25 +265,97 @@ class Decomp:
         return F, u, v, p
 
     # ------------------------------------------------------------------
+    # the per-shard step on the windowed whole-step Pallas kernel
+    # ------------------------------------------------------------------
+    def _widen(self, a, W: int):
+        """Extend a local block with W planes of current neighbor data on
+        every side (two-stage: x rows first, then full-height y columns, so
+        corners carry diagonal-neighbor data). Edge shards get zeros beyond
+        the walls — the windowed kernel's global masks keep them inert."""
+        h = self.halo
+
+        def zeros(shape):
+            return jnp.zeros(shape, a.dtype)
+
+        if self.px > 1:
+            lo = _hshift(a[-2 - W:-2, :], h.axis_x, self.px, up=True)
+            hi = _hshift(a[2:2 + W, :], h.axis_x, self.px, up=False)
+            lo = jnp.where(h.is_left(), 0.0, lo)
+            hi = jnp.where(h.is_right(), 0.0, hi)
+        else:
+            lo = hi = zeros((W, a.shape[1]))
+        a = jnp.concatenate([lo, a, hi], axis=0)
+        if self.py > 1:
+            lo = _hshift(a[:, -2 - W:-2], h.axis_y, self.py, up=True)
+            hi = _hshift(a[:, 2:2 + W], h.axis_y, self.py, up=False)
+            lo = jnp.where(h.is_bottom(), 0.0, lo)
+            hi = jnp.where(h.is_top(), 0.0, hi)
+        else:
+            lo = hi = zeros((a.shape[0], W))
+        return jnp.concatenate([lo, a, hi], axis=1)
+
+    def _local_step_pallas(self, F, u, v, p, even_step: bool):
+        from ..pallas_kernels import pallas_available
+        from ..pallas_kernels.step_kernels import (
+            pallas_fullstep_win, step_halo_width)
+
+        W = step_halo_width(self.cfg)
+        h = self.halo
+        oi = h.xi() * self.nxl - W
+        oj = h.yi() * self.nyl - W
+        ext = [self._widen(x, W) for x in (F, u, v, p)]
+        out = pallas_fullstep_win(
+            self.cfg, *ext, oi, oj, even_step,
+            interpret=not pallas_available())
+        F, u, v, p = (x[W:-W, W:-W] for x in out)
+        ex = partial(exchange, h)
+        return ex(F), ex(u), ex(v), ex(p)
+
+    def pallas_shard_supported(self) -> bool:
+        """Whether the windowed kernel applies: the halo must come from the
+        IMMEDIATE neighbor (local blocks >= W per axis) and the extended
+        block must fit the VMEM envelope (~24 live field-sized temporaries
+        <= 124 MB)."""
+        from ..pallas_kernels.step_kernels import step_halo_width
+
+        W = step_halo_width(self.cfg)
+        if (self.px > 1 and self.nxl < W) or (self.py > 1 and self.nyl < W):
+            return False
+        n0 = ((self.nxl + 2 + 2 * W + 7) // 8) * 8
+        n1 = ((self.nyl + 2 + 2 * W + 127) // 128) * 128
+        return 24 * n0 * n1 * 4 <= 124 * 2**20
+
+    # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
     def make_simulate(self):
         """Jitted (state, n_steps static) -> state over blocked arrays."""
         spec = P(self.ax, self.ay)
 
+        use_pallas = self.cfg.num.backend in ("pallas", "pallas_mono")
+        if use_pallas and not self.pallas_shard_supported():
+            import warnings
+
+            warnings.warn(
+                "per-shard windowed kernel exceeds the VMEM envelope for "
+                f"local blocks {self.nxl}x{self.nyl}; using the XLA "
+                "per-shard step")
+            use_pallas = False
+        local = self._local_step_pallas if use_pallas else self._local_step
+
         @partial(jax.jit, static_argnums=(1,))
         def run(state: State, n_steps: int) -> State:
             def sharded_steps(F, u, v, p):
                 def pair(carry, _):
                     F, u, v, p = carry
-                    F, u, v, p = self._local_step(F, u, v, p, even_step=False)
-                    F, u, v, p = self._local_step(F, u, v, p, even_step=True)
+                    F, u, v, p = local(F, u, v, p, even_step=False)
+                    F, u, v, p = local(F, u, v, p, even_step=True)
                     return (F, u, v, p), None
 
                 n_pairs, rem = divmod(n_steps, 2)
                 (F, u, v, p), _ = lax.scan(pair, (F, u, v, p), None, length=n_pairs)
                 if rem:
-                    F, u, v, p = self._local_step(F, u, v, p, even_step=False)
+                    F, u, v, p = local(F, u, v, p, even_step=False)
                 return F, u, v, p
 
             F, u, v, p = jax.shard_map(
@@ -282,6 +363,8 @@ class Decomp:
                 mesh=self.mesh,
                 in_specs=(spec, spec, spec, spec),
                 out_specs=(spec, spec, spec, spec),
+                # pallas_call out_shapes carry no vma annotation (jax 0.9)
+                check_vma=False,
             )(state.F, state.u, state.v, state.p)
             return State(F=F, u=u, v=v, p=p)
 

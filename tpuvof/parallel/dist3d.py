@@ -1,0 +1,314 @@
+"""Distributed 3-D solver: `shard_map` x-axis domain decomposition.
+
+The 3-D counterpart of parallel/dist.py (VERDICT r1 #7). The volume is
+sliced along axis 0 (x) only — the axis the Pallas slab kernels already
+stream along, so lanes (z) and sublanes (y) stay intact per shard and every
+y/z FCT sweep is communication-free. Each shard holds its interior slab
+padded with the usual one-ghost-plane ring; interior-boundary ghosts ride
+ICI via `lax.ppermute`, physical walls use masked BC formulas on edge
+shards.
+
+Communication per step (all nearest-neighbor along one mesh axis):
+  predict: u*, v*, w* ghosts      pressure: p per Jacobi iteration
+  BCs (x3): u, v, w, F, p         FCT x-sweep: a 3-plane wide F/u halo
+  (the y/z sweeps touch only in-plane neighbors: zero comm)
+
+The x-sweep uses the wide-halo trick instead of per-pass intermediate
+syncs: ship 3 planes of current neighbor data, run the whole 4-pass sweep
+on the extended block with global-index masks
+(ops/fct3d.fct3d_sweep_x_windowed), keep the fully-haloed central planes.
+Same trajectory as the serial sweep at f64 1e-12 (tests/test_parallel_3d.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Fluid
+from ..grid import Grid3D
+from ..state import State3D
+from ..ops import clamp01, mix_properties
+from ..ops.fct3d import fct3d_sweep_x_windowed, fct3d_sweep_y, fct3d_sweep_z
+from ..ops.momentum3d import predict_velocity_3d, update_velocity_3d
+
+__all__ = ["Decomp3D"]
+
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class _LocalGrid3:
+    nx: int
+    ny: int
+    nz: int
+    dx: float
+    dy: float
+    dz: float
+    dxi: float
+    dyi: float
+    dzi: float
+
+
+def _shift_x(sl, axis_name: str, n: int, up: bool):
+    perm = [(i, i + 1) for i in range(n - 1)] if up else \
+        [(i + 1, i) for i in range(n - 1)]
+    return lax.ppermute(sl, axis_name, perm)
+
+
+class Decomp3D:
+    """x-axis domain decomposition of a 3-D grid over a 1-axis mesh."""
+
+    def __init__(self, g: Grid3D, mesh: Mesh, fl: Fluid | None = None,
+                 dt: float = 4e-6, n_jacobi: int = 10):
+        if len(mesh.axis_names) != 1:
+            raise ValueError("Decomp3D expects a 1-axis mesh (x slabs)")
+        self.g = g
+        self.mesh = mesh
+        self.ax = mesh.axis_names[0]
+        self.px = mesh.shape[self.ax]
+        if g.nx % self.px:
+            raise ValueError(f"nx={g.nx} not divisible by mesh {self.px}")
+        self.nxl = g.nx // self.px
+        self.fl = fl or Fluid()
+        self.dt = dt
+        self.n_jacobi = n_jacobi
+        self._run = None
+
+    # ---- shard coordinates (traced inside shard_map) ----
+    def _xi(self):
+        return lax.axis_index(self.ax) if self.px > 1 else 0
+
+    def _is_left(self):
+        return self._xi() == 0
+
+    def _is_right(self):
+        return self._xi() == self.px - 1
+
+    def _exchange(self, a):
+        """Refresh the axis-0 ghost planes from neighbors; edge shards keep
+        their existing (wall/stale) ghosts."""
+        if self.px == 1:
+            return a
+        recv_lo = _shift_x(a[-2], self.ax, self.px, up=True)
+        recv_hi = _shift_x(a[1], self.ax, self.px, up=False)
+        a = a.at[0].set(jnp.where(self._is_left(), a[0], recv_lo))
+        a = a.at[-1].set(jnp.where(self._is_right(), a[-1], recv_hi))
+        return a
+
+    def _widen(self, a, w: int = 2):
+        """Extend a local (nxl+2, ...) block with w extra *current* neighbor
+        planes on each side (beyond the ghost plane); edge shards get zeros
+        there — the windowed sweep's global masks keep them inert."""
+        if self.px == 1:
+            z = jnp.zeros((w,) + a.shape[1:], a.dtype)
+            return jnp.concatenate([z, a, z], axis=0)
+        lo = _shift_x(a[-2 - w:-2], self.ax, self.px, up=True)
+        hi = _shift_x(a[2:2 + w], self.ax, self.px, up=False)
+        zero = jnp.zeros_like(lo)
+        lo = jnp.where(self._is_left(), zero, lo)
+        hi = jnp.where(self._is_right(), zero, hi)
+        return jnp.concatenate([lo, a, hi], axis=0)
+
+    # ---- masked BCs (reference order: y, x, z faces; ops/bc.py) ----
+    def _bc(self, u, v, w, F, p):
+        left, right = self._is_left(), self._is_right()
+
+        def m(arr, idx, val):
+            return arr.at[idx].set(val)
+
+        u = m(u, (slice(None), 0), u[:, 1])
+        u = m(u, (slice(None), -1), u[:, -2])
+        v = m(v, (slice(None), 1), 0.0)
+        v = m(v, (slice(None), -1), 0.0)
+        w = m(w, (slice(None), 0), w[:, 1])
+        w = m(w, (slice(None), -1), w[:, -2])
+        F = m(F, (slice(None), 0), F[:, 1])
+        F = m(F, (slice(None), -1), F[:, -2])
+        p = m(p, (slice(None), 0), p[:, 1])
+        p = m(p, (slice(None), -1), p[:, -2])
+
+        u = u.at[1].set(jnp.where(left, 0.0, u[1]))
+        u = u.at[-1].set(jnp.where(right, 0.0, u[-1]))
+        v = v.at[0].set(jnp.where(left, v[1], v[0]))
+        v = v.at[-1].set(jnp.where(right, v[-2], v[-1]))
+        w = w.at[0].set(jnp.where(left, w[1], w[0]))
+        w = w.at[-1].set(jnp.where(right, w[-2], w[-1]))
+        F = F.at[0].set(jnp.where(left, F[1], F[0]))
+        F = F.at[-1].set(jnp.where(right, F[-2], F[-1]))
+        p = p.at[0].set(jnp.where(left, p[1], p[0]))
+        p = p.at[-1].set(jnp.where(right, p[-2], p[-1]))
+
+        u = m(u, (slice(None), slice(None), 0), u[:, :, 1])
+        u = m(u, (slice(None), slice(None), -1), u[:, :, -2])
+        v = m(v, (slice(None), slice(None), 0), v[:, :, 1])
+        v = m(v, (slice(None), slice(None), -1), v[:, :, -2])
+        w = m(w, (slice(None), slice(None), 1), 0.0)
+        w = m(w, (slice(None), slice(None), -1), 0.0)
+        F = m(F, (slice(None), slice(None), 0), F[:, :, 1])
+        F = m(F, (slice(None), slice(None), -1), F[:, :, -2])
+        p = m(p, (slice(None), slice(None), 0), p[:, :, 1])
+        p = m(p, (slice(None), slice(None), -1), p[:, :, -2])
+
+        ex = self._exchange
+        return ex(u), ex(v), ex(w), ex(F), ex(p)
+
+    # ---- distributed pressure solve ----
+    def _solve_pressure(self, p, us, vs, ws, rho):
+        g = self.g
+        I = (slice(1, -1),) * 3
+        rhs = rho[I] / self.dt * (
+            (us[2:, 1:-1, 1:-1] - us[I]) * g.dxi
+            + (vs[1:-1, 2:, 1:-1] - vs[I]) * g.dyi
+            + (ws[1:-1, 1:-1, 2:] - ws[I]) * g.dzi
+        )
+        shape = (self.nxl, g.ny, g.nz)
+        dxi2 = jnp.asarray(np.float64(g.dxi) ** 2, p.dtype)
+        dyi2 = jnp.asarray(np.float64(g.dyi) ** 2, p.dtype)
+        dzi2 = jnp.asarray(np.float64(g.dzi) ** 2, p.dtype)
+        li = lax.broadcasted_iota(jnp.int32, shape, 0)
+        lj = lax.broadcasted_iota(jnp.int32, shape, 1)
+        lk = lax.broadcasted_iota(jnp.int32, shape, 2)
+        zero = jnp.zeros((), p.dtype)
+        ae = jnp.where(self._is_right() & (li == self.nxl - 1), zero, dxi2)
+        aw = jnp.where(self._is_left() & (li == 0), zero, dxi2)
+        an = jnp.where(lj == g.ny - 1, zero, dyi2)
+        a_s = jnp.where(lj == 0, zero, dyi2)
+        af = jnp.where(lk == g.nz - 1, zero, dzi2)
+        ab = jnp.where(lk == 0, zero, dzi2)
+        ap_inv = -1.0 / (ae + aw + an + a_s + ab + af)
+
+        def body(_, p):
+            p_int = (
+                rhs
+                - ae * p[2:, 1:-1, 1:-1]
+                - aw * p[:-2, 1:-1, 1:-1]
+                - an * p[1:-1, 2:, 1:-1]
+                - a_s * p[1:-1, :-2, 1:-1]
+                - af * p[1:-1, 1:-1, 2:]
+                - ab * p[1:-1, 1:-1, :-2]
+            ) * ap_inv
+            return self._exchange(p.at[I].set(p_int))
+
+        return lax.fori_loop(0, self.n_jacobi, body, p, unroll=True)
+
+    # ---- the per-shard step ----
+    def _local_step(self, F, u, v, w, p, phase: int):
+        g, fl = self.g, self.fl
+        # local extents with the GLOBAL spacing copied verbatim (re-deriving
+        # dx from a scaled local Lx would not be bit-identical; cf.
+        # parallel/dist.py _LocalGrid)
+        gl = _LocalGrid3(nx=self.nxl, ny=g.ny, nz=g.nz,
+                         dx=g.dx, dy=g.dy, dz=g.dz,
+                         dxi=g.dxi, dyi=g.dyi, dzi=g.dzi)
+
+        rho, nu = mix_properties(fl, F)
+        kappa = jnp.zeros_like(F)  # surface tension inert (3dvof.py:607)
+
+        # predictor over ALL local faces (u_lo=1); the serial wall face
+        # (global face 1) is zeroed on the left shard only
+        us, vs, ws = predict_velocity_3d(
+            gl, fl, self.dt, u, v, w, F, rho, nu, kappa, u_lo=1)
+        us = us.at[1].set(jnp.where(self._is_left(), 0.0, us[1]))
+        us, vs, ws = self._exchange(us), self._exchange(vs), self._exchange(ws)
+
+        u, v, w, F, p = self._bc(u, v, w, F, p)
+        # rho needs no exchange: it is pointwise in F, whose ghosts entered
+        # the step current (end-of-previous-step BC + exchange)
+        p = self._solve_pressure(p, us, vs, ws, rho)
+
+        u, v, w = update_velocity_3d(
+            gl, self.dt, u, v, w, us, vs, ws, p, rho, u_lo=1)
+        u = u.at[1].set(jnp.where(self._is_left(), 0.0, u[1]))
+        u, v, w, F, p = self._bc(u, v, w, F, p)
+
+        def sweep_x(F, u):
+            gi0 = self._xi() * self.nxl - 2  # ext plane l -> global gi0 + l
+            F_ext = self._widen(F)
+            u_ext = self._widen(u)
+            out = fct3d_sweep_x_windowed(g, self.dt, F_ext, u_ext, gi0)
+            return out[2:-2]
+
+        def sweep_y(F, v):
+            return fct3d_sweep_y(g, self.dt, F, v)
+
+        def sweep_z(F, w):
+            return fct3d_sweep_z(g, self.dt, F, w)
+
+        sweeps = {0: ((sweep_x, u), (sweep_y, v), (sweep_z, w)),
+                  1: ((sweep_y, v), (sweep_z, w), (sweep_x, u)),
+                  2: ((sweep_z, w), (sweep_x, u), (sweep_y, v))}[phase]
+        for fn, vel in sweeps:
+            F = fn(F, vel)
+            F = self._exchange(F)
+        F = clamp01(F)
+        u, v, w, F, p = self._bc(u, v, w, F, p)
+        return F, u, v, w, p
+
+    # ---- host-side layout conversion ----
+    def scatter_state(self, state: State3D) -> State3D:
+        def scatter(arr):
+            arr = np.asarray(arr)
+            blocks = [arr[c * self.nxl: c * self.nxl + self.nxl + 2]
+                      for c in range(self.px)]
+            blocked = np.concatenate(blocks, axis=0)
+            sharding = NamedSharding(self.mesh, P(self.ax))
+            return jax.device_put(jnp.asarray(blocked), sharding)
+
+        return State3D(*(scatter(a) for a in state))
+
+    def gather_state(self, state: State3D) -> State3D:
+        g = self.g
+
+        def gather(blocked):
+            b = np.asarray(blocked)
+            out = np.zeros((g.nx + 2,) + b.shape[1:], b.dtype)
+            H = self.nxl + 2
+            for c in range(self.px):
+                out[c * self.nxl + 1: (c + 1) * self.nxl + 1] = \
+                    b[c * H + 1: (c + 1) * H - 1]
+            out[0] = out[1]
+            out[-1] = out[-2]
+            return jnp.asarray(out)
+
+        return State3D(*(gather(a) for a in state))
+
+    # ---- public API ----
+    def make_simulate(self):
+        spec = P(self.ax)
+
+        @partial(jax.jit, static_argnums=(1,))
+        def run(state: State3D, n_steps: int) -> State3D:
+            def body(F, u, v, w, p):
+                def triple(carry, _):
+                    s = carry
+                    for ph in (1, 2, 0):
+                        s = self._local_step(*s, ph)
+                    return s, None
+
+                n_triples, rem = divmod(n_steps, 3)
+                carry, _ = lax.scan(triple, (F, u, v, w, p), None,
+                                    length=n_triples)
+                for r in range(rem):
+                    carry = self._local_step(*carry, (r + 1) % 3)
+                return carry
+
+            F, u, v, w, p = jax.shard_map(
+                body, mesh=self.mesh,
+                in_specs=(spec,) * 5, out_specs=(spec,) * 5,
+            )(state.F, state.u, state.v, state.w, state.p)
+            return State3D(F=F, u=u, v=v, w=w, p=p)
+
+        return run
+
+    def simulate(self, state: State3D, n_steps: int) -> State3D:
+        if self._run is None:
+            self._run = self.make_simulate()
+        blocked = self.scatter_state(state)
+        out = self._run(blocked, n_steps)
+        return self.gather_state(out)

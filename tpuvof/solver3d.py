@@ -68,14 +68,141 @@ def _solve_pressure_3d(g: Grid3D, dt, n_iter, p, u_star, v_star, w_star, rho):
     return jax.lax.fori_loop(0, n_iter, body, p, unroll=True)
 
 
+_SWEEP_ORDER = {0: (0, 1, 2), 1: (1, 2, 0), 2: (2, 0, 1)}
+
+
+def _pad_jk(g: Grid3D):
+    """Mosaic DMA slices must be lane/sublane aligned: the slab kernels run
+    on fields whose j-dim is padded to a multiple of 8 and k-dim to a
+    multiple of 128 (the pad region is masked to zero everywhere)."""
+    p1 = (-(g.ny + 2)) % 8
+    p2 = (-(g.nz + 2)) % 128
+    return p1, p2
+
+
+def _apply_bc_3d_win(g: Grid3D, u, v, w, F, p):
+    """apply_bc_3d with explicit grid-bound indices instead of -1/-2, so it
+    acts on the true ghost planes of jk-padded arrays (ops/bc.py order:
+    y-faces, then x-faces, then z-faces)."""
+    jm, jw = g.ny + 1, g.ny  # ghost / wall-adjacent j index
+    km, kw = g.nz + 1, g.nz
+    im, iw = g.nx + 1, g.nx
+
+    u = u.at[:, 0, :].set(u[:, 1, :])
+    u = u.at[:, jm, :].set(u[:, jw, :])
+    v = v.at[:, 1, :].set(0.0)
+    v = v.at[:, jm, :].set(0.0)
+    w = w.at[:, 0, :].set(w[:, 1, :])
+    w = w.at[:, jm, :].set(w[:, jw, :])
+    F = F.at[:, 0, :].set(F[:, 1, :])
+    F = F.at[:, jm, :].set(F[:, jw, :])
+    p = p.at[:, 0, :].set(p[:, 1, :])
+    p = p.at[:, jm, :].set(p[:, jw, :])
+
+    u = u.at[1, :, :].set(0.0)
+    u = u.at[im, :, :].set(0.0)
+    v = v.at[0, :, :].set(v[1, :, :])
+    v = v.at[im, :, :].set(v[iw, :, :])
+    w = w.at[0, :, :].set(w[1, :, :])
+    w = w.at[im, :, :].set(w[iw, :, :])
+    F = F.at[0, :, :].set(F[1, :, :])
+    F = F.at[im, :, :].set(F[iw, :, :])
+    p = p.at[0, :, :].set(p[1, :, :])
+    p = p.at[im, :, :].set(p[iw, :, :])
+
+    u = u.at[:, :, 0].set(u[:, :, 1])
+    u = u.at[:, :, km].set(u[:, :, kw])
+    v = v.at[:, :, 0].set(v[:, :, 1])
+    v = v.at[:, :, km].set(v[:, :, kw])
+    w = w.at[:, :, 1].set(0.0)
+    w = w.at[:, :, km].set(0.0)
+    F = F.at[:, :, 0].set(F[:, :, 1])
+    F = F.at[:, :, km].set(F[:, :, kw])
+    p = p.at[:, :, 0].set(p[:, :, 1])
+    p = p.at[:, :, km].set(p[:, :, kw])
+    return u, v, w, F, p
+
+
+def _step_3d_pallas(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
+                    state: State3D, phase: int) -> State3D:
+    """Single padded-at-the-edges step (pads/unpads around the padded-state
+    step; `simulate_3d` pads once outside its scan instead)."""
+    p1, p2 = _pad_jk(g)
+    pad = lambda a: jnp.pad(a, ((0, 0), (0, p1), (0, p2)))  # noqa: E731
+    state = State3D(*(pad(a) for a in state))
+    state = _step_3d_pallas_padded(g, fl, dt, n_jacobi, state, phase)
+    n1p, n2p = g.ny + 2, g.nz + 2
+    return State3D(*(a[:, :n1p, :n2p] for a in state))
+
+
+def _step_3d_pallas_padded(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
+                           state: State3D, phase: int) -> State3D:
+    """The whole step on the slab-tiled Pallas kernels (VERDICT r1 #1):
+    predict+rhs, chunk-streamed Jacobi, correction, and the three FCT
+    sweeps each run as one VMEM-streaming kernel; only the O(n^2) ghost
+    BCs stay as XLA surface updates.
+
+    Two provable shortcuts vs the literal XLA pipeline (pinned exact by
+    tests/test_3d.py):
+    - post_process_f's whole-volume clamp is skipped: the sweeps already
+      clamp every interior value, and the ghost ring (mirrors of clamped
+      interiors) is re-mirrored by the final BC before anyone reads it.
+    - the correction kernel zeroes the positions outside its update ranges
+      instead of carrying u_prev through; every such position is either
+      rewritten by the following BC or provably zero under the XLA path
+      (u's i=0 ghost plane etc. — never written, init zero)."""
+    import jax as _jax
+
+    from .pallas_kernels.step3d import (
+        pallas_correct3d,
+        pallas_fct3d_sweep,
+        pallas_predict3d_rhs,
+    )
+    from .pallas_kernels.jacobi3d import pallas_jacobi_3d
+
+    interpret = _jax.default_backend() == "cpu"
+    F, u, v, w, p = state
+
+    us, vs, ws, rhs = pallas_predict3d_rhs(
+        g, fl, dt, u, v, w, F, interpret=interpret
+    )
+    u, v, w, F, p = _apply_bc_3d_win(g, u, v, w, F, p)
+    p = pallas_jacobi_3d(g, n_jacobi, p, rhs, interpret=interpret)
+    u, v, w = pallas_correct3d(g, fl, dt, us, vs, ws, p, F,
+                               interpret=interpret)
+    u, v, w, F, p = _apply_bc_3d_win(g, u, v, w, F, p)
+    vels = (u, v, w)
+    for ax in _SWEEP_ORDER[phase]:
+        F = pallas_fct3d_sweep(g, dt, F, vels[ax], ax, interpret=interpret)
+    u, v, w, F, p = _apply_bc_3d_win(g, u, v, w, F, p)
+    return State3D(F=F, u=u, v=v, w=w, p=p)
+
+
+def pallas3d_supported(g: Grid3D) -> bool:
+    from .pallas_kernels.jacobi3d import jacobi3d_fits_vmem
+    from .pallas_kernels.step3d import step3d_slab_supported
+
+    return step3d_slab_supported(g) and jacobi3d_fits_vmem(g)
+
+
 def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
             state: State3D, phase: int, backend: str = "xla") -> State3D:
     """One step; ``phase`` = istep % 3 selects the sweep rotation
     (3dvof.py:351-363; the main loop pre-increments istep, so the first
-    step runs phase 1). backend='pallas' runs the Jacobi iterations in the
-    fused VMEM-resident kernel when the volume fits (<= ~144^3); the
-    zeroed ghost ring it returns is re-mirrored by the BC right after the
-    velocity correction, before any ghost consumer."""
+    step runs phase 1). backend='pallas' runs the slab-tiled kernel
+    pipeline (any grid with even nx that fits the Jacobi VMEM envelope,
+    up to ~220^3); unsupported grids fall back to the XLA path with a
+    warning."""
+    if backend == "pallas":
+        if pallas3d_supported(g):
+            return _step_3d_pallas(g, fl, dt, n_jacobi, state, phase)
+        import warnings
+
+        warnings.warn(
+            f"backend='pallas' requested at {g.nx}x{g.ny}x{g.nz}, but the "
+            "slab kernels need nx divisible by 2 with >=3 chunks and the "
+            "pressure volume VMEM-resident (~220^3 f32 max); using the "
+            "XLA path.")
     F, u, v, w, p = state
     rho, nu = mix_properties(fl, F)
     kappa = jnp.zeros_like(F)  # surface tension inert in 3-D (3dvof.py:607)
@@ -84,24 +211,7 @@ def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
         g, fl, dt, u, v, w, F, rho, nu, kappa
     )
     u, v, w, F, p, rho = apply_bc_3d(u, v, w, F, p, rho)
-
-    from .pallas_kernels.jacobi3d import jacobi3d_fits_vmem, pallas_jacobi_3d
-
-    if backend == "pallas" and jacobi3d_fits_vmem(g):
-        import jax as _jax
-
-        I = (slice(1, -1),) * 3
-        rhs = rho[I] / dt * (
-            (u_star[2:, 1:-1, 1:-1] - u_star[I]) * g.dxi
-            + (v_star[1:-1, 2:, 1:-1] - v_star[I]) * g.dyi
-            + (w_star[1:-1, 1:-1, 2:] - w_star[I]) * g.dzi
-        )
-        p = pallas_jacobi_3d(
-            g, n_jacobi, p, rhs,
-            interpret=(_jax.default_backend() == "cpu"),
-        )
-    else:
-        p = _solve_pressure_3d(g, dt, n_jacobi, p, u_star, v_star, w_star, rho)
+    p = _solve_pressure_3d(g, dt, n_jacobi, p, u_star, v_star, w_star, rho)
     u, v, w = update_velocity_3d(g, dt, u, v, w, u_star, v_star, w_star, p, rho)
     u, v, w, F, p, rho = apply_bc_3d(u, v, w, F, p, rho)
     F = rudman_advect_3d(g, dt, F, u, v, w, phase)
@@ -115,17 +225,32 @@ def simulate_3d(g: Grid3D, state: State3D, n_steps: int,
                 dt: float = 4e-6, n_jacobi: int = 10,
                 fl: Fluid | None = None, backend: str = "xla") -> State3D:
     """Advance n_steps with the reference's 1-based phase schedule
-    (first step phase 1, then 2, 0, 1, ...)."""
+    (first step phase 1, then 2, 0, 1, ...). The pallas backend pads the
+    state once (jk lane/sublane alignment) and scans the padded step."""
     fl = fl or Fluid()
+    use_pallas = backend == "pallas" and pallas3d_supported(g)
+    if use_pallas:
+        p1, p2 = _pad_jk(g)
+        state = State3D(
+            *(jnp.pad(a, ((0, 0), (0, p1), (0, p2))) for a in state)
+        )
+        stepper = lambda s, ph: _step_3d_pallas_padded(  # noqa: E731
+            g, fl, dt, n_jacobi, s, ph)
+    else:
+        stepper = lambda s, ph: step_3d(  # noqa: E731
+            g, fl, dt, n_jacobi, s, ph, backend)
 
     def triple(s, _):
-        s = step_3d(g, fl, dt, n_jacobi, s, 1, backend)
-        s = step_3d(g, fl, dt, n_jacobi, s, 2, backend)
-        s = step_3d(g, fl, dt, n_jacobi, s, 0, backend)
+        s = stepper(s, 1)
+        s = stepper(s, 2)
+        s = stepper(s, 0)
         return s, None
 
     n_triples, rem = divmod(n_steps, 3)
     state, _ = jax.lax.scan(triple, state, None, length=n_triples)
     for r in range(rem):
-        state = step_3d(g, fl, dt, n_jacobi, state, (r + 1) % 3, backend)
+        state = stepper(state, (r + 1) % 3)
+    if use_pallas:
+        n1p, n2p = g.ny + 2, g.nz + 2
+        state = State3D(*(a[:, :n1p, :n2p] for a in state))
     return state
