@@ -24,11 +24,13 @@ BASELINE_CUPS = 0.0  # filled by scripts/measure_baseline.py; 0 -> remeasure
 
 
 def measure(simulate, cfg, state, n_steps: int) -> float:
-    """Wall-clock seconds for n_steps, forcing host materialization (the
-    axon tunnel's block_until_ready can return early)."""
+    """Wall-clock seconds for n_steps, forcing a device sync with a tiny
+    host copy (the axon tunnel's block_until_ready can return early; a
+    full-field copy inside the timed region would add tunnel-transfer
+    time that is not simulation cost)."""
     t0 = time.perf_counter()
     out = simulate(cfg, state, n_steps)
-    np.asarray(out.F)
+    np.asarray(out.F[:1, :8])
     return time.perf_counter() - t0, out
 
 

@@ -23,7 +23,11 @@ import numpy as np
 def _time(run, *args):
     t0 = time.perf_counter()
     out = run(*args)
-    np.asarray(out.F)  # force host copy: axon block_until_ready returns early
+    # force a device sync with a TINY host copy: block_until_ready can
+    # return early over axon, but pulling the whole field through the
+    # tunnel inside the timed region added ~8 ms/step of artifact for
+    # 33 MB 3-D volumes (BASELINE.md round-2 note)
+    np.asarray(out.F[:1, :1])
     return time.perf_counter() - t0, out
 
 

@@ -33,7 +33,11 @@ def run(n, steps, backend, reps=1):
     for _ in range(reps):
         t0 = time.perf_counter()
         st = simulate_3d(g, st, steps, backend=backend)
-        np.asarray(st.F)
+        # force device sync with a tiny host copy: block_until_ready can
+        # return early over axon (CLAUDE.md), and copying the full 33 MB F
+        # through the tunnel inside the timed loop added ~8 ms/step of
+        # measurement artifact at 200^3 in round 2's first numbers
+        np.asarray(st.F[:1, :1, :8])
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     return out, compile_s, best

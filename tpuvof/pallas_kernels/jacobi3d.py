@@ -77,6 +77,9 @@ def jacobi3d_fits_vmem(g: Grid3D) -> bool:
 
 def _kernel(p_ref, rhs_ref, out_ref, wplane, rhs_buf, sem, *, g: Grid3D,
             n_iter: int, B: int):
+    # rhs_buf has two slots: chunk c+1's rhs DMA is issued before chunk c's
+    # compute, hiding the 250 per-chunk-per-iteration HBM waits that
+    # serialized the round-1 kernel
     # plane dims from the (possibly lane/sublane-padded) buffers; masks use
     # explicit grid bounds so the pad region is held at zero
     n1p, n2p = p_ref.shape[1], p_ref.shape[2]
@@ -140,12 +143,30 @@ def _kernel(p_ref, rhs_ref, out_ref, wplane, rhs_buf, sem, *, g: Grid3D,
 
     first = lax.broadcasted_iota(jnp.int32, bshape, 0) == 0
 
-    def iter_body(_, carry):
+    def rhs_dma(slot, c):
+        return pltpu.make_async_copy(
+            rhs_ref.at[pl.ds(1 + c * B, B)],
+            rhs_buf.at[slot], sem.at[slot])
+
+    def iter_body(it, carry):
         # old-west plane for chunk 0 is the (permanently zero) ghost plane
         wplane[:] = jnp.zeros((1, n1p, n2p), dtype)
 
+        @pl.when(it == 0)
+        def _():
+            rhs_dma(0, 0).start()
+
         def chunk_body(c, _):
             i0 = 1 + c * B
+            # slots follow the GLOBAL chunk counter (nc may be odd, so c%2
+            # alone would mis-pair the cross-iteration prefetch)
+            k = it * nc + c
+            slot = lax.rem(k, 2)
+            # prefetch next chunk's rhs (wraps to chunk 0 for the next
+            # iteration)
+            nxt = lax.rem(c + 1, nc)
+            pl.when((c + 1 < nc) | (it + 1 < n_iter))(
+                lambda: rhs_dma(lax.rem(k + 1, 2), nxt).start())
             # read ONLY not-yet-written planes [i0, i0+B+1): chunk c-1 wrote
             # [i0-B, i0), so no load here ever touches a plane stored through
             # a dynamic slice earlier in this iteration (a read-after-write
@@ -156,12 +177,8 @@ def _kernel(p_ref, rhs_ref, out_ref, wplane, rhs_buf, sem, *, g: Grid3D,
             east = lax.slice_in_dim(ext, 1, B + 1, axis=0)
             west = jnp.where(first, wplane[:], jnp.roll(center, 1, axis=0))
             wplane[:] = lax.slice_in_dim(ext, B - 1, B, axis=0)  # old last
-            # rhs streams from HBM per chunk: keeping it VMEM-resident
-            # overflowed the v5e's VMEM at 200^3 by ~1 MB (p + rhs + temps)
-            dma = pltpu.make_async_copy(rhs_ref.at[pl.ds(i0, B)], rhs_buf, sem)
-            dma.start()
-            dma.wait()
-            rhs = rhs_buf[:]
+            rhs_dma(slot, c).wait()
+            rhs = rhs_buf[slot]
             # subtraction order matches the XLA path: e, w, n, s, f, b
             val = (
                 rhs
@@ -196,8 +213,8 @@ def pallas_jacobi_3d(g: Grid3D, n_iter: int, p, rhs, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((1, n1p, n2p), p.dtype),
-                        pltpu.VMEM((B, n1p, n2p), p.dtype),
-                        pltpu.SemaphoreType.DMA(())],
+                        pltpu.VMEM((2, B, n1p, n2p), p.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
         # alias p into the output: the ghost-zero pass rewrites the buffer
         # chunk-wise before the iterations, so in-place is safe, and it
         # saves one full volume of VMEM

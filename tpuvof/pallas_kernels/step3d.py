@@ -30,6 +30,14 @@ that the region masks zero out. The x-direction FCT sweep needs a 3-plane
 i-halo; its first/last chunks use clamped extended blocks with static
 in-block offsets so every ref slice stays in bounds.
 
+All three kernels double-buffer (pallas guide, Patterns/Double Buffering):
+scratch holds two slots addressed as rows [slot*E, (slot+1)*E); chunk c+1's
+input DMA is issued before chunk c's compute and chunk c's output DMA
+drains while c+1 computes, so the HBM round trips hide behind the VPU
+work. Slots are addressed with pl.ds(traced_start, static_size) loads and
+stores — the one dynamic-indexing form Mosaic supports here (the same
+pattern the chunked Jacobi uses).
+
 Numerics mirror ops/momentum3d.py and ops/fct3d.py expression-for-
 expression; equivalence against the XLA path is pinned by
 tests/test_3d.py (interpret mode on CPU, f64) and the TPU-gated compiled
@@ -207,45 +215,80 @@ def _predict_kernel(u_hbm, v_hbm, w_hbm, F_hbm,
                     ub, vb, wb, Fb, usb, vsb, wsb, rhsb, zplane,
                     sems, osems,
                     *, g: Grid3D, fl: Fluid, dt, B: int):
-    """Slab loop. Ext block covers [i0-2, i0+B+2) (B+4 planes) so the rhs
-    of every stored plane sees a valid u*(i+1); first/last chunks use
-    clamped ext ranges with static in-block offsets."""
+    """Double-buffered slab loop. Ext block covers [i0-2, i0+B+2) (B+4
+    planes) so the rhs of every stored plane sees a valid u*(i+1);
+    first/last chunks use clamped ext ranges whose static in-block offsets
+    (1/2/3) are selected by three predicated staging branches."""
     n0 = g.nx + 2
     nc = g.nx // B
     E = B + 4
 
-    def process(ext_start, off):  # plane dims come from the scratch shapes
-        ins = [_copy(h.at[pl.ds(ext_start, E)], b, sems.at[i])
-               for i, (h, b) in enumerate(
-                   ((u_hbm, ub), (v_hbm, vb), (w_hbm, wb), (F_hbm, Fb)))]
-        for d in ins:
-            d.wait()
-        us, vs, ws, rhs = _predict_block(
-            g, fl, dt, ub[:], vb[:], wb[:], Fb[:], ext_start)
-        usb[:] = lax.slice_in_dim(us, off, off + B, axis=0)
-        vsb[:] = lax.slice_in_dim(vs, off, off + B, axis=0)
-        wsb[:] = lax.slice_in_dim(ws, off, off + B, axis=0)
-        rhsb[:] = lax.slice_in_dim(rhs, off, off + B, axis=0)
-        i0 = ext_start + off
-        outs = [_copy(b, h.at[pl.ds(i0, B)], osems.at[i])
-                for i, (b, h) in enumerate(
-                    ((usb, us_hbm), (vsb, vs_hbm), (wsb, ws_hbm),
-                     (rhsb, rhs_hbm)))]
-        for d in outs:
-            d.wait()
+    def ext_start(c):
+        return jnp.where(c == 0, 0,
+                         jnp.where(c == nc - 1, n0 - E, 1 + c * B - 2))
 
-    # first chunk: ext [0, E), i0 = 1
-    process(0, 1)
+    ins = ((u_hbm, ub), (v_hbm, vb), (w_hbm, wb), (F_hbm, Fb))
+    outs = ((usb, us_hbm), (vsb, vs_hbm), (wsb, ws_hbm), (rhsb, rhs_hbm))
 
-    # middle chunks: ext [i0-2, i0+B+2)
+    def in_dma(slot, c, i):
+        h, b = ins[i]
+        return pltpu.make_async_copy(
+            h.at[pl.ds(ext_start(c), E)],
+            b.at[pl.ds(slot * E, E)],
+            sems.at[slot * 4 + i])
+
+    def out_dma(slot, c, i):
+        b, h = outs[i]
+        return pltpu.make_async_copy(
+            b.at[pl.ds(slot * B, B)],
+            h.at[pl.ds(1 + c * B, B)],
+            osems.at[slot * 4 + i])
+
+    for i in range(4):
+        in_dma(0, 0, i).start()
+
     def body(c, _):
-        process(1 + c * B - 2, 2)
+        slot = lax.rem(c, 2)
+
+        @pl.when(c + 1 < nc)
+        def _():
+            for i in range(4):
+                in_dma(lax.rem(c + 1, 2), c + 1, i).start()
+
+        for i in range(4):
+            in_dma(slot, c, i).wait()
+
+        s0 = slot * E
+        us, vs, ws, rhs = _predict_block(
+            g, fl, dt, ub[pl.ds(s0, E)], vb[pl.ds(s0, E)],
+            wb[pl.ds(s0, E)], Fb[pl.ds(s0, E)], ext_start(c))
+
+        # the staging slot was last used by chunk c-2: drain its output DMA
+        @pl.when(c >= 2)
+        def _():
+            for i in range(4):
+                out_dma(slot, c - 2, i).wait()
+
+        def stage(off):
+            def f():
+                for (b, _h), val in zip(outs, (us, vs, ws, rhs)):
+                    b[pl.ds(slot * B, B)] = lax.slice_in_dim(
+                        val, off, off + B, axis=0)
+            return f
+
+        pl.when(c == 0)(stage(1))
+        pl.when((c > 0) & (c < nc - 1))(stage(2))
+        pl.when(c == nc - 1)(stage(3))
+
+        for i in range(4):
+            out_dma(slot, c, i).start()
         return 0
 
-    lax.fori_loop(1, nc - 1, body, 0)
+    lax.fori_loop(0, nc, body, 0)
 
-    # last chunk: ext [n0-E, n0), i0 = nx+1-B
-    process(n0 - E, (g.nx + 1 - B) - (n0 - E))
+    for c in (nc - 2, nc - 1):
+        for i in range(4):
+            out_dma(c % 2, c, i).wait()
 
     # ghost planes of every output are defined-zero (the XLA path's
     # zeros_like base); downstream never reads them but metrics/tests may
@@ -272,13 +315,13 @@ def pallas_predict3d_rhs(g: Grid3D, fl: Fluid, dt, u, v, w, F,
         in_specs=_any_specs(4),
         out_specs=tuple(_any_specs(4)),
         scratch_shapes=[
-            blk(E), blk(E), blk(E), blk(E),          # ext inputs
-            blk(B), blk(B), blk(B), blk(B),          # output staging
-            blk(1),                                   # zero plane
-            pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SemaphoreType.DMA((4,)),
+            blk(2 * E), blk(2 * E), blk(2 * E), blk(2 * E),  # ext in x2 slots
+            blk(2 * B), blk(2 * B), blk(2 * B), blk(2 * B),  # out staging x2
+            blk(1),                                          # zero plane
+            pltpu.SemaphoreType.DMA((8,)),
+            pltpu.SemaphoreType.DMA((8,)),
         ],
-        compiler_params=_vmem_params(44 * E * plane[0] * plane[1] * 4),
+        compiler_params=_vmem_params(52 * E * plane[0] * plane[1] * 4),
         interpret=interpret,
     )(u, v, w, F)
 
@@ -293,29 +336,53 @@ def _correct_kernel(us_hbm, vs_hbm, ws_hbm, p_hbm, F_hbm,
                     usb, vsb, wsb, pb, Fb, ub, vb, wb, zplane,
                     sems, osems,
                     *, g: Grid3D, fl: Fluid, dt, B: int):
+    """Double-buffered; all chunks are uniform (p/F carry a one-plane west
+    halo, ext [i0-1, i0+B+1) stays in bounds at both ends)."""
     n0 = g.nx + 2
     nc = g.nx // B
+    E1 = B + 1
+
+    ins = ((us_hbm, usb, 0, B), (vs_hbm, vsb, 0, B), (ws_hbm, wsb, 0, B),
+           (p_hbm, pb, -1, E1), (F_hbm, Fb, -1, E1))
+    outs = ((ub, u_hbm), (vb, v_hbm), (wb, w_hbm))
+
+    def in_dma(slot, c, i):
+        h, b, d0, n = ins[i]
+        return pltpu.make_async_copy(
+            h.at[pl.ds(1 + c * B + d0, n)],
+            b.at[pl.ds(slot * n, n)],
+            sems.at[slot * 5 + i])
+
+    def out_dma(slot, c, i):
+        b, h = outs[i]
+        return pltpu.make_async_copy(
+            b.at[pl.ds(slot * B, B)],
+            h.at[pl.ds(1 + c * B, B)],
+            osems.at[slot * 3 + i])
+
+    for i in range(5):
+        in_dma(0, 0, i).start()
 
     def body(c, _):
         i0 = 1 + c * B
-        ins = [
-            _copy(us_hbm.at[pl.ds(i0, B)], usb, sems.at[0]),
-            _copy(vs_hbm.at[pl.ds(i0, B)], vsb, sems.at[1]),
-            _copy(ws_hbm.at[pl.ds(i0, B)], wsb, sems.at[2]),
-            _copy(p_hbm.at[pl.ds(i0 - 1, B + 1)], pb, sems.at[3]),
-            _copy(F_hbm.at[pl.ds(i0 - 1, B + 1)], Fb, sems.at[4]),
-        ]
-        for d in ins:
-            d.wait()
+        slot = lax.rem(c, 2)
 
-        rho, _ = mix_properties(fl, Fb[:])
-        p = pb[:]
+        @pl.when(c + 1 < nc)
+        def _():
+            for i in range(5):
+                in_dma(lax.rem(c + 1, 2), c + 1, i).start()
+
+        for i in range(5):
+            in_dma(slot, c, i).wait()
+
+        rho, _ = mix_properties(fl, Fb[pl.ds(slot * E1, E1)])
+        p = pb[pl.ds(slot * E1, E1)]
         p_c = lax.slice_in_dim(p, 1, B + 1, axis=0)
         p_w = lax.slice_in_dim(p, 0, B, axis=0)
         r_c = lax.slice_in_dim(rho, 1, B + 1, axis=0)
         r_w = lax.slice_in_dim(rho, 0, B, axis=0)
 
-        shape = usb.shape
+        shape = p_c.shape
         gi = _iota3(shape, 0) + i0
         j = _iota3(shape, 1)
         k = _iota3(shape, 2)
@@ -323,25 +390,34 @@ def _correct_kernel(us_hbm, vs_hbm, ws_hbm, p_hbm, F_hbm,
         k_int = (k >= 1) & (k <= g.nz)
         i_int = (gi >= 1) & (gi <= g.nx)
 
-        u = usb[:] - dt / ((r_c + r_w) * 0.5) * (p_c - p_w) * g.dxi
-        ub[:] = jnp.where((gi >= 2) & (gi <= g.nx) & j_int & k_int, u, 0.0)
-        v = vsb[:] - dt / ((r_c + _sh3(r_c, 0, -1, 0)) * 0.5) * (
+        sB = slot * B
+        u = usb[pl.ds(sB, B)] - dt / ((r_c + r_w) * 0.5) * (p_c - p_w) * g.dxi
+        v = vsb[pl.ds(sB, B)] - dt / ((r_c + _sh3(r_c, 0, -1, 0)) * 0.5) * (
             p_c - _sh3(p_c, 0, -1, 0)) * g.dyi
-        vb[:] = jnp.where(i_int & (j >= 2) & (j <= g.ny) & k_int, v, 0.0)
-        w = wsb[:] - dt / ((r_c + _sh3(r_c, 0, 0, -1)) * 0.5) * (
+        w = wsb[pl.ds(sB, B)] - dt / ((r_c + _sh3(r_c, 0, 0, -1)) * 0.5) * (
             p_c - _sh3(p_c, 0, 0, -1)) * g.dzi
-        wb[:] = jnp.where(i_int & j_int & (k >= 2) & (k <= g.nz), w, 0.0)
 
-        outs = [
-            _copy(ub, u_hbm.at[pl.ds(i0, B)], osems.at[0]),
-            _copy(vb, v_hbm.at[pl.ds(i0, B)], osems.at[1]),
-            _copy(wb, w_hbm.at[pl.ds(i0, B)], osems.at[2]),
-        ]
-        for d in outs:
-            d.wait()
+        @pl.when(c >= 2)
+        def _():
+            for i in range(3):
+                out_dma(slot, c - 2, i).wait()
+
+        ub[pl.ds(sB, B)] = jnp.where(
+            (gi >= 2) & (gi <= g.nx) & j_int & k_int, u, 0.0)
+        vb[pl.ds(sB, B)] = jnp.where(
+            i_int & (j >= 2) & (j <= g.ny) & k_int, v, 0.0)
+        wb[pl.ds(sB, B)] = jnp.where(
+            i_int & j_int & (k >= 2) & (k <= g.nz), w, 0.0)
+
+        for i in range(3):
+            out_dma(slot, c, i).start()
         return 0
 
     lax.fori_loop(0, nc, body, 0)
+
+    for c in (nc - 2, nc - 1):
+        for i in range(3):
+            out_dma(c % 2, c, i).wait()
 
     zplane[:] = jnp.zeros_like(zplane)
     gz = []
@@ -367,12 +443,13 @@ def pallas_correct3d(g: Grid3D, fl: Fluid, dt, u_star, v_star, w_star, p, F,
         in_specs=_any_specs(5),
         out_specs=tuple(_any_specs(3)),
         scratch_shapes=[
-            blk(B), blk(B), blk(B), blk(B + 1), blk(B + 1),
-            blk(B), blk(B), blk(B), blk(1),
-            pltpu.SemaphoreType.DMA((5,)),
-            pltpu.SemaphoreType.DMA((3,)),
+            blk(2 * B), blk(2 * B), blk(2 * B),
+            blk(2 * (B + 1)), blk(2 * (B + 1)),
+            blk(2 * B), blk(2 * B), blk(2 * B), blk(1),
+            pltpu.SemaphoreType.DMA((10,)),
+            pltpu.SemaphoreType.DMA((6,)),
         ],
-        compiler_params=_vmem_params(36 * (B + 1) * plane[0] * plane[1] * 4),
+        compiler_params=_vmem_params(44 * (B + 1) * plane[0] * plane[1] * 4),
         interpret=interpret,
     )(u_star, v_star, w_star, p, F)
 
@@ -382,71 +459,178 @@ def pallas_correct3d(g: Grid3D, fl: Fluid, dt, u_star, v_star, w_star, p, F,
 # ----------------------------------------------------------------------
 
 
+def _sweep_x_ext(g: Grid3D, dt, F, vel, gi0, sc):
+    """One x-direction Rudman/Zalesak sweep (3dvof.py:366-541) over an ext
+    block whose plane l has global i-index gi0 + l. Rows within 3 planes of
+    a block edge are junk unless the edge is the true array edge (the masks
+    use global gi); non-interior positions carry the input F through."""
+    vol, dv_area, flux_scale, q_scale, final_div = sc
+    shape = F.shape
+    gi = _iota3(shape, 0) + gi0
+    j = _iota3(shape, 1)
+    k = _iota3(shape, 2)
+    o_int = (j >= 1) & (j <= g.ny) & (k >= 1) & (k <= g.nz)
 
-def _fct_x_kernel(F_hbm, u_hbm, out_hbm, Fb, ubuf, ob, gplane,
-                  sems, osems, *, g: Grid3D, vol, dv_area, flux_scale,
-                  q_scale, final_div, dt, B: int):
+    F_up = _sh3(F, -1, 0, 0)
+    fL = vel * dt * jnp.where(vel >= 0, F_up, F)
+    fH = vel * dt * jnp.where(vel <= 0, F_up, F)
+    a = jnp.where((gi >= 1) & o_int, fH - fL, 0.0)
+    dv = vol - dt * dv_area * (_sh3(vel, 1, 0, 0) - vel)
+    ftd = clamp01((F + (fL - _sh3(fL, 1, 0, 0)) * flux_scale) * vol / dv)
+    int_m = (gi >= 1) & (gi <= g.nx) & o_int
+    Ftd = jnp.where(int_m, ftd, 0.0)
+    fmax = jnp.maximum(Ftd, jnp.maximum(_sh3(Ftd, -1, 0, 0),
+                                        _sh3(Ftd, 1, 0, 0)))
+    fmin = jnp.minimum(Ftd, jnp.minimum(_sh3(Ftd, -1, 0, 0),
+                                        _sh3(Ftd, 1, 0, 0)))
+    a_hi = _sh3(a, 1, 0, 0)
+    pp = jnp.maximum(0.0, a) - jnp.minimum(0.0, a_hi)
+    qp = (fmax - Ftd) * q_scale
+    rp = jnp.where(int_m & (pp > 0),
+                   jnp.minimum(1.0, qp / jnp.where(pp > 0, pp, 1.0)), 0.0)
+    pm = jnp.maximum(0.0, a_hi) - jnp.minimum(0.0, a)
+    qm = (Ftd - fmin) * q_scale
+    rm = jnp.where(int_m & (pm > 0),
+                   jnp.minimum(1.0, qm / jnp.where(pm > 0, pm, 1.0)), 0.0)
+    cfct = jnp.where(
+        (gi >= 1) & o_int,
+        jnp.where(a >= 0,
+                  jnp.minimum(rp, _sh3(rm, -1, 0, 0)),
+                  jnp.minimum(_sh3(rp, -1, 0, 0), rm)),
+        0.0,
+    )
+    corr = (_sh3(a, 1, 0, 0) * _sh3(cfct, 1, 0, 0) - a * cfct) / final_div
+    return jnp.where(int_m, clamp01(Ftd - corr * vol / dv), F)
+
+
+def _sweep_inplane(g: Grid3D, dt, F, vel, axis: int, sc):
+    """One y- (axis=1) or z- (axis=2) sweep. Row-local: valid for any
+    subset of interior i-planes; non-interior positions carry F through."""
+    vol, dv_area, flux_scale, q_scale, final_div = sc
+    shape = F.shape
+    n_sweep = g.ny if axis == 1 else g.nz
+    o_hi = g.nz if axis == 1 else g.ny
+    idx = _iota3(shape, axis)
+    io = _iota3(shape, 2 if axis == 1 else 1)
+    o_int = (io >= 1) & (io <= o_hi)
+
+    def sh(x, d):
+        return _sh3(x, 0, d if axis == 1 else 0, d if axis == 2 else 0)
+
+    F_up = sh(F, -1)
+    fL = vel * dt * jnp.where(vel >= 0, F_up, F)
+    fH = vel * dt * jnp.where(vel <= 0, F_up, F)
+    a = jnp.where((idx >= 1) & o_int, fH - fL, 0.0)
+    dv = vol - dt * dv_area * (sh(vel, 1) - vel)
+    ftd = clamp01((F + (fL - sh(fL, 1)) * flux_scale) * vol / dv)
+    int_m = (idx >= 1) & (idx <= n_sweep) & o_int
+    Ftd = jnp.where(int_m, ftd, 0.0)
+    fmax = jnp.maximum(Ftd, jnp.maximum(sh(Ftd, -1), sh(Ftd, 1)))
+    fmin = jnp.minimum(Ftd, jnp.minimum(sh(Ftd, -1), sh(Ftd, 1)))
+    a_hi = sh(a, 1)
+    pp = jnp.maximum(0.0, a) - jnp.minimum(0.0, a_hi)
+    qp = (fmax - Ftd) * q_scale
+    rp = jnp.where(int_m & (pp > 0),
+                   jnp.minimum(1.0, qp / jnp.where(pp > 0, pp, 1.0)), 0.0)
+    pm = jnp.maximum(0.0, a_hi) - jnp.minimum(0.0, a)
+    qm = (Ftd - fmin) * q_scale
+    rm = jnp.where(int_m & (pm > 0),
+                   jnp.minimum(1.0, qm / jnp.where(pm > 0, pm, 1.0)), 0.0)
+    cfct = jnp.where(
+        (idx >= 1) & o_int,
+        jnp.where(a >= 0,
+                  jnp.minimum(rp, sh(rm, -1)),
+                  jnp.minimum(sh(rp, -1), rm)),
+        0.0,
+    )
+    corr = (sh(a, 1) * sh(cfct, 1) - a * cfct) / final_div
+    return jnp.where(int_m, clamp01(Ftd - corr * vol / dv), F)
+
+
+def _scales(g: Grid3D, axis: int):
+    """The reference's literal (non-uniform) scale factors per sweep axis
+    (3dvof.py:438 keeps the 2-D dy/(dx*dy) flux scale in the y-sweep)."""
+    vol = g.dx * g.dy * g.dz
+    if axis == 0:
+        return (vol, g.dy * g.dz, g.dy * g.dz / vol, g.dx, g.dy)
+    if axis == 1:
+        return (vol, g.dx * g.dz, g.dy / (g.dx * g.dy), g.dx, g.dy)
+    return (vol, g.dx * g.dy, g.dy * g.dx / vol, g.dz, g.dz)
+
+
+def _fct_x_kernel(F_hbm, u_hbm, out_hbm, Fb, ubuf, ob, gplane, sems, osems,
+                  *, g: Grid3D, dt, B: int):
     """x-sweep: shifts run along the slab axis, so chunks carry a 3-plane
-    halo. First/last chunks clamp the ext range with static offsets."""
+    halo (ext block E = B+6). First/last chunks clamp the ext range; their
+    static in-block offsets (1/3/5) are selected by predicated staging
+    branches. Double-buffered.
+
+    A fused variant (in-plane sweeps chained onto the staged center rows,
+    5 HBM round trips per 3-step cycle instead of 9) measured ~5% SLOWER
+    at 128^3/200^3 on the v5e — the round trips it saves are already
+    hidden behind compute by the double buffering — so the sweeps stay
+    three separate kernels (git history has the fused implementation)."""
     n0 = g.nx + 2
     nc = g.nx // B
     E = B + 6
-    shape = Fb.shape
+    sc = _scales(g, 0)
 
-    def process(ext_start, off):
-        d1 = _copy(F_hbm.at[pl.ds(ext_start, E)], Fb, sems.at[0])
-        d2 = _copy(u_hbm.at[pl.ds(ext_start, E)], ubuf, sems.at[1])
-        d1.wait()
-        d2.wait()
-        gi = _iota3(shape, 0) + ext_start
-        j = _iota3(shape, 1)
-        k = _iota3(shape, 2)
-        o_int = (j >= 1) & (j <= g.ny) & (k >= 1) & (k <= g.nz)
-        F = Fb[:]
-        vel = ubuf[:]
+    def ext_start(c):
+        return jnp.where(c == 0, 0,
+                         jnp.where(c == nc - 1, n0 - E, 1 + c * B - 3))
 
-        F_up = _sh3(F, -1, 0, 0)
-        fL = vel * dt * jnp.where(vel >= 0, F_up, F)
-        fH = vel * dt * jnp.where(vel <= 0, F_up, F)
-        a = jnp.where((gi >= 1) & o_int, fH - fL, 0.0)
-        dv = vol - dt * dv_area * (_sh3(vel, 1, 0, 0) - vel)
-        ftd = clamp01((F + (fL - _sh3(fL, 1, 0, 0)) * flux_scale) * vol / dv)
-        int_m = (gi >= 1) & (gi <= g.nx) & o_int
-        Ftd = jnp.where(int_m, ftd, 0.0)
-        fmax = jnp.maximum(Ftd, jnp.maximum(_sh3(Ftd, -1, 0, 0),
-                                            _sh3(Ftd, 1, 0, 0)))
-        fmin = jnp.minimum(Ftd, jnp.minimum(_sh3(Ftd, -1, 0, 0),
-                                            _sh3(Ftd, 1, 0, 0)))
-        a_hi = _sh3(a, 1, 0, 0)
-        pp = jnp.maximum(0.0, a) - jnp.minimum(0.0, a_hi)
-        qp = (fmax - Ftd) * q_scale
-        rp = jnp.where(int_m & (pp > 0),
-                       jnp.minimum(1.0, qp / jnp.where(pp > 0, pp, 1.0)), 0.0)
-        pm = jnp.maximum(0.0, a_hi) - jnp.minimum(0.0, a)
-        qm = (Ftd - fmin) * q_scale
-        rm = jnp.where(int_m & (pm > 0),
-                       jnp.minimum(1.0, qm / jnp.where(pm > 0, pm, 1.0)), 0.0)
-        c = jnp.where(
-            (gi >= 1) & o_int,
-            jnp.where(a >= 0,
-                      jnp.minimum(rp, _sh3(rm, -1, 0, 0)),
-                      jnp.minimum(_sh3(rp, -1, 0, 0), rm)),
-            0.0,
-        )
-        corr = (_sh3(a, 1, 0, 0) * _sh3(c, 1, 0, 0) - a * c) / final_div
-        f_new = jnp.where(int_m, clamp01(Ftd - corr * vol / dv), F)
-        ob[:] = lax.slice_in_dim(f_new, off, off + B, axis=0)
-        d = _copy(ob, out_hbm.at[pl.ds(ext_start + off, B)], osems.at[0])
-        d.wait()
+    def in_dma(slot, c, i):
+        h, b = ((F_hbm, Fb), (u_hbm, ubuf))[i]
+        return pltpu.make_async_copy(
+            h.at[pl.ds(ext_start(c), E)],
+            b.at[pl.ds(slot * E, E)],
+            sems.at[slot * 2 + i])
 
-    process(0, 1)  # first chunk: i0 = 1
+    def out_dma(slot, c):
+        return pltpu.make_async_copy(
+            ob.at[pl.ds(slot * B, B)],
+            out_hbm.at[pl.ds(1 + c * B, B)],
+            osems.at[slot])
+
+    for i in range(2):
+        in_dma(0, 0, i).start()
 
     def body(c, _):
-        process(1 + c * B - 3, 3)
+        slot = lax.rem(c, 2)
+
+        @pl.when(c + 1 < nc)
+        def _():
+            for i in range(2):
+                in_dma(lax.rem(c + 1, 2), c + 1, i).start()
+
+        for i in range(2):
+            in_dma(slot, c, i).wait()
+
+        F = Fb[pl.ds(slot * E, E)]
+        vel = ubuf[pl.ds(slot * E, E)]
+        f_new = _sweep_x_ext(g, dt, F, vel, ext_start(c), sc)
+
+        @pl.when(c >= 2)
+        def _():
+            out_dma(slot, c - 2).wait()
+
+        def stage(off):
+            def f():
+                ob[pl.ds(slot * B, B)] = lax.slice_in_dim(
+                    f_new, off, off + B, axis=0)
+            return f
+
+        pl.when(c == 0)(stage(1))
+        pl.when((c > 0) & (c < nc - 1))(stage(3))
+        pl.when(c == nc - 1)(stage(5))
+
+        out_dma(slot, c).start()
         return 0
 
-    lax.fori_loop(1, nc - 1, body, 0)
-    process(n0 - E, (g.nx + 1 - B) - (n0 - E))  # last chunk
+    lax.fori_loop(0, nc, body, 0)
+
+    for c in (nc - 2, nc - 1):
+        out_dma(c % 2, c).wait()
 
     # ghost planes carry the input F through (BC-mirrored pre-sweep values,
     # exactly what the XLA path's interior-only .set leaves in place)
@@ -460,69 +644,56 @@ def _fct_x_kernel(F_hbm, u_hbm, out_hbm, Fb, ubuf, ob, gplane,
     d2.wait()
 
 
-def _fct_yz_kernel(F_hbm, vel_hbm, out_hbm, Fb, vbuf, gplane, sems, osems,
-                   *, g: Grid3D, axis: int, vol, dv_area, flux_scale,
-                   q_scale, final_div, dt, B: int):
+def _fct_yz_kernel(F_hbm, vel_hbm, out_hbm, Fb, vbuf, ob, gplane,
+                   sems, osems, *, g: Grid3D, axis: int, dt, B: int):
     """y- or z-sweep: shifts are in-plane (sublane/lane rolls), so chunks
-    need no i-halo at all."""
+    need no i-halo at all. Double-buffered."""
     n0 = g.nx + 2
     nc = g.nx // B
-    shape = Fb.shape
-    n_sweep = g.ny if axis == 1 else g.nz
-    o_hi = g.nz if axis == 1 else g.ny  # interior bound of the other in-plane axis
+    sc = _scales(g, axis)
+
+    def in_dma(slot, c, i):
+        h, b = ((F_hbm, Fb), (vel_hbm, vbuf))[i]
+        return pltpu.make_async_copy(
+            h.at[pl.ds(1 + c * B, B)],
+            b.at[pl.ds(slot * B, B)],
+            sems.at[slot * 2 + i])
+
+    def out_dma(slot, c):
+        return pltpu.make_async_copy(
+            ob.at[pl.ds(slot * B, B)],
+            out_hbm.at[pl.ds(1 + c * B, B)],
+            osems.at[slot])
+
+    for i in range(2):
+        in_dma(0, 0, i).start()
 
     def body(c, _):
-        i0 = 1 + c * B
-        d1 = _copy(F_hbm.at[pl.ds(i0, B)], Fb, sems.at[0])
-        d2 = _copy(vel_hbm.at[pl.ds(i0, B)], vbuf, sems.at[1])
-        d1.wait()
-        d2.wait()
-        idx = _iota3(shape, axis)
-        oth = 2 if axis == 1 else 1
-        io = _iota3(shape, oth)
-        o_int = (io >= 1) & (io <= o_hi)
+        slot = lax.rem(c, 2)
 
-        def sh(x, d):
-            return _sh3(x, 0, d if axis == 1 else 0, d if axis == 2 else 0)
+        @pl.when(c + 1 < nc)
+        def _():
+            for i in range(2):
+                in_dma(lax.rem(c + 1, 2), c + 1, i).start()
 
-        F = Fb[:]
-        vel = vbuf[:]
-        F_up = sh(F, -1)
-        fL = vel * dt * jnp.where(vel >= 0, F_up, F)
-        fH = vel * dt * jnp.where(vel <= 0, F_up, F)
-        a = jnp.where((idx >= 1) & o_int, fH - fL, 0.0)
-        dv = vol - dt * dv_area * (sh(vel, 1) - vel)
-        ftd = clamp01((F + (fL - sh(fL, 1)) * flux_scale) * vol / dv)
-        int_m = (idx >= 1) & (idx <= n_sweep) & o_int
-        Ftd = jnp.where(int_m, ftd, 0.0)
-        fmax = jnp.maximum(Ftd, jnp.maximum(sh(Ftd, -1), sh(Ftd, 1)))
-        fmin = jnp.minimum(Ftd, jnp.minimum(sh(Ftd, -1), sh(Ftd, 1)))
-        a_hi = sh(a, 1)
-        pp = jnp.maximum(0.0, a) - jnp.minimum(0.0, a_hi)
-        qp = (fmax - Ftd) * q_scale
-        rp = jnp.where(int_m & (pp > 0),
-                       jnp.minimum(1.0, qp / jnp.where(pp > 0, pp, 1.0)), 0.0)
-        pm = jnp.maximum(0.0, a_hi) - jnp.minimum(0.0, a)
-        qm = (Ftd - fmin) * q_scale
-        rm = jnp.where(int_m & (pm > 0),
-                       jnp.minimum(1.0, qm / jnp.where(pm > 0, pm, 1.0)), 0.0)
-        c_ = jnp.where(
-            (idx >= 1) & o_int,
-            jnp.where(a >= 0,
-                      jnp.minimum(rp, sh(rm, -1)),
-                      jnp.minimum(sh(rp, -1), rm)),
-            0.0,
-        )
-        corr = (sh(a, 1) * sh(c_, 1) - a * c_) / final_div
-        f_new = jnp.where(int_m, clamp01(Ftd - corr * vol / dv), F)
-        # only interior planes are stored; plane-level ghosts in j/k kept
-        # from F by the masks above
-        Fb[:] = f_new
-        d = _copy(Fb, out_hbm.at[pl.ds(i0, B)], osems.at[0])
-        d.wait()
+        for i in range(2):
+            in_dma(slot, c, i).wait()
+
+        f_new = _sweep_inplane(g, dt, Fb[pl.ds(slot * B, B)],
+                               vbuf[pl.ds(slot * B, B)], axis, sc)
+
+        @pl.when(c >= 2)
+        def _():
+            out_dma(slot, c - 2).wait()
+
+        ob[pl.ds(slot * B, B)] = f_new
+        out_dma(slot, c).start()
         return 0
 
     lax.fori_loop(0, nc, body, 0)
+
+    for c in (nc - 2, nc - 1):
+        out_dma(c % 2, c).wait()
 
     d1 = _copy(F_hbm.at[pl.ds(0, 1)], gplane, sems.at[0])
     d1.wait()
@@ -539,49 +710,34 @@ def pallas_fct3d_sweep(g: Grid3D, dt, F, vel, axis: int,
     """One Rudman FCT sweep along `axis` (0=x, 1=y, 2=z) with the
     reference's literal (non-uniform) scale factors — see ops/fct3d.py."""
     B = _pick_chunk(g.nx)
-    vol = g.dx * g.dy * g.dz
-    if axis == 0:
-        scales = dict(vol=vol, dv_area=g.dy * g.dz,
-                      flux_scale=g.dy * g.dz / vol, q_scale=g.dx,
-                      final_div=g.dy)
-    elif axis == 1:
-        # 2-D flux scale dy/(dx*dy) kept from the reference (3dvof.py:438)
-        scales = dict(vol=vol, dv_area=g.dx * g.dz,
-                      flux_scale=g.dy / (g.dx * g.dy), q_scale=g.dx,
-                      final_div=g.dy)
-    else:
-        scales = dict(vol=vol, dv_area=g.dx * g.dy,
-                      flux_scale=g.dy * g.dx / vol, q_scale=g.dz,
-                      final_div=g.dz)
-
     shape = jax.ShapeDtypeStruct(F.shape, F.dtype)
     plane = F.shape[1:]
     blk = lambda n: pltpu.VMEM((n, *plane), F.dtype)  # noqa: E731
     if axis == 0:
         E = B + 6
         return pl.pallas_call(
-            partial(_fct_x_kernel, g=g, dt=dt, B=B, **scales),
+            partial(_fct_x_kernel, g=g, dt=dt, B=B),
             out_shape=shape,
             in_specs=_any_specs(2),
             out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             scratch_shapes=[
-                blk(E), blk(E), blk(B), blk(1),
+                blk(2 * E), blk(2 * E), blk(2 * B), blk(1),
+                pltpu.SemaphoreType.DMA((4,)),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((1,)),
             ],
-            compiler_params=_vmem_params(32 * E * plane[0] * plane[1] * 4),
+            compiler_params=_vmem_params(38 * E * plane[0] * plane[1] * 4),
             interpret=interpret,
         )(F, vel)
     return pl.pallas_call(
-        partial(_fct_yz_kernel, g=g, axis=axis, dt=dt, B=B, **scales),
+        partial(_fct_yz_kernel, g=g, axis=axis, dt=dt, B=B),
         out_shape=shape,
         in_specs=_any_specs(2),
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            blk(B), blk(B), blk(1),
+            blk(2 * B), blk(2 * B), blk(2 * B), blk(1),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((1,)),
         ],
-        compiler_params=_vmem_params(32 * B * plane[0] * plane[1] * 4),
+        compiler_params=_vmem_params(38 * B * plane[0] * plane[1] * 4),
         interpret=interpret,
     )(F, vel)
