@@ -39,3 +39,20 @@ s3i = tv.init_state_3d(g, ic=1)
 mi = np.asarray(s3i.F)[1:-1,1:-1,1:-1].sum()
 print(f"  mass drift vs init: {abs(m3-mi)/mi:.2e}", flush=True)
 print("VERIFY-OK", flush=True)
+
+# TPU-side 1000-step golden drift (VERDICT r1 #2, last clause): the f32
+# production dtype on REAL TPU hardware vs the f64 loop-spec oracle.
+# CPU-measured drift is 1.06e-3 (chaos-amplified dtype gap, not framework
+# error — see tests/test_golden.py); bound it at the same 5x margin here.
+golden = np.load(os.path.join(os.path.dirname(__file__), "..",
+                              "tests", "golden_dambreak_64_1000.npz"))
+n = int(golden["n"])
+import jax.numpy as jnp
+cfg_g = tv.SimConfig(grid=tv.Grid2D(n, n))
+sg = tv.init_state(cfg_g, ic=1)
+sg = tv.State(*(jnp.asarray(x, jnp.float32) for x in sg))
+sg = tv.simulate(cfg_g, sg, int(golden["n_steps"]))
+drift = np.max(np.abs(np.asarray(sg.F, np.float64) - golden["F"]))
+print(f"TPU f32 1000-step golden drift: {drift:.3e} (bound 5e-3)", flush=True)
+assert drift <= 5e-3, drift
+print("GOLDEN-TPU-OK", flush=True)
