@@ -121,6 +121,59 @@ def _iota3(shape, axis):
     return lax.broadcasted_iota(jnp.int32, shape, axis)
 
 
+def _bc_fix_uvw(g: Grid3D, u, v, w, gi):
+    """Reconstruct set_BC's wall/ghost velocity values (ops/bc.py order:
+    y-faces, then x, then z — the order is load-bearing at corners) on
+    loaded blocks, so the streamed state never needs a whole-volume XLA BC
+    pass between steps (it cost 1.8 ms/step at 200^3, 30% of the step).
+    Bit-exact: each fix copies or zeroes exactly the positions set_BC
+    writes, in the same order, as a pure function of interior values —
+    which are identical between the paths by induction."""
+    shape = u.shape
+    j = _iota3(shape, 1)
+    k = _iota3(shape, 2)
+    jm, km, im = g.ny + 1, g.nz + 1, g.nx + 1
+
+    def ymirror(x):
+        x = jnp.where(j == 0, _sh3(x, 0, 1, 0), x)
+        return jnp.where(j == jm, _sh3(x, 0, -1, 0), x)
+
+    def zmirror(x):
+        x = jnp.where(k == 0, _sh3(x, 0, 0, 1), x)
+        return jnp.where(k == km, _sh3(x, 0, 0, -1), x)
+
+    def imirror(x):
+        x = jnp.where(gi == 0, _sh3(x, 1, 0, 0), x)
+        return jnp.where(gi == im, _sh3(x, -1, 0, 0), x)
+
+    u = ymirror(u)
+    u = jnp.where((gi == 1) | (gi == im), 0.0, u)
+    u = zmirror(u)
+
+    v = jnp.where((j == 1) | (j == jm), 0.0, v)
+    v = imirror(v)
+    v = zmirror(v)
+
+    w = ymirror(w)
+    w = imirror(w)
+    w = jnp.where((k == 1) | (k == km), 0.0, w)
+    return u, v, w
+
+
+def _mirror_jk(g: Grid3D, x):
+    """F ghost mirrors in set_BC's y-then-z face order; the x-face ghost
+    planes are whole-plane copies done by the caller's plane DMAs (the
+    orders commute plane-wise, so copy-then-z and z-then-copy agree)."""
+    shape = x.shape
+    j = _iota3(shape, 1)
+    k = _iota3(shape, 2)
+    x = jnp.where(j == 0, _sh3(x, 0, 1, 0), x)
+    x = jnp.where(j == g.ny + 1, _sh3(x, 0, -1, 0), x)
+    x = jnp.where(k == 0, _sh3(x, 0, 0, 1), x)
+    x = jnp.where(k == g.nz + 1, _sh3(x, 0, 0, -1), x)
+    return x
+
+
 # ----------------------------------------------------------------------
 # predict3d: materials + momentum predictor + projection rhs
 # ----------------------------------------------------------------------
@@ -259,9 +312,14 @@ def _predict_kernel(u_hbm, v_hbm, w_hbm, F_hbm,
             in_dma(slot, c, i).wait()
 
         s0 = slot * E
+        es = ext_start(c)
+        # in-block BC: the state's velocity ghosts are NOT maintained
+        # between steps (no per-step XLA BC pass) — reconstruct them here
+        u_, v_, w_ = ub[pl.ds(s0, E)], vb[pl.ds(s0, E)], wb[pl.ds(s0, E)]
+        gi = _iota3(u_.shape, 0) + es
+        u_, v_, w_ = _bc_fix_uvw(g, u_, v_, w_, gi)
         us, vs, ws, rhs = _predict_block(
-            g, fl, dt, ub[pl.ds(s0, E)], vb[pl.ds(s0, E)],
-            wb[pl.ds(s0, E)], Fb[pl.ds(s0, E)], ext_start(c))
+            g, fl, dt, u_, v_, w_, Fb[pl.ds(s0, E)], es)
 
         # the staging slot was last used by chunk c-2: drain its output DMA
         @pl.when(c >= 2)
@@ -558,8 +616,30 @@ def _scales(g: Grid3D, axis: int):
     return (vol, g.dx * g.dy, g.dy * g.dx / vol, g.dz, g.dz)
 
 
+def _ghost_planes_out(g, F_hbm, out_hbm, gplane, sems, osems, mirror_out):
+    """i-ghost planes of a sweep's output. Pass-through sweeps carry the
+    input F's (stale-mirror) ghost planes, exactly like the XLA path's
+    interior-only .set; the step's LAST sweep instead writes fresh mirrors
+    of its own output planes 1/nx (the final-BC x-face rule)."""
+    n0 = g.nx + 2
+    if mirror_out:
+        src_lo = out_hbm.at[pl.ds(1, 1)]
+        src_hi = out_hbm.at[pl.ds(g.nx, 1)]
+    else:
+        src_lo = F_hbm.at[pl.ds(0, 1)]
+        src_hi = F_hbm.at[pl.ds(n0 - 1, 1)]
+    d1 = _copy(src_lo, gplane, sems.at[0])
+    d1.wait()
+    d2 = _copy(gplane, out_hbm.at[pl.ds(0, 1)], osems.at[0])
+    d2.wait()
+    d1 = _copy(src_hi, gplane, sems.at[0])
+    d1.wait()
+    d2 = _copy(gplane, out_hbm.at[pl.ds(n0 - 1, 1)], osems.at[0])
+    d2.wait()
+
+
 def _fct_x_kernel(F_hbm, u_hbm, out_hbm, Fb, ubuf, ob, gplane, sems, osems,
-                  *, g: Grid3D, dt, B: int):
+                  *, g: Grid3D, dt, B: int, mirror_out: bool):
     """x-sweep: shifts run along the slab axis, so chunks carry a 3-plane
     halo (ext block E = B+6). First/last chunks clamp the ext range; their
     static in-block offsets (1/3/5) are selected by predicated staging
@@ -609,6 +689,11 @@ def _fct_x_kernel(F_hbm, u_hbm, out_hbm, Fb, ubuf, ob, gplane, sems, osems,
         F = Fb[pl.ds(slot * E, E)]
         vel = ubuf[pl.ds(slot * E, E)]
         f_new = _sweep_x_ext(g, dt, F, vel, ext_start(c), sc)
+        if mirror_out:
+            # last sweep of the step: write fresh j/k ghost mirrors of the
+            # swept F (stands in for the step's final BC on F; the sweeps
+            # of the NEXT step will read exactly these)
+            f_new = _mirror_jk(g, f_new)
 
         @pl.when(c >= 2)
         def _():
@@ -632,20 +717,12 @@ def _fct_x_kernel(F_hbm, u_hbm, out_hbm, Fb, ubuf, ob, gplane, sems, osems,
     for c in (nc - 2, nc - 1):
         out_dma(c % 2, c).wait()
 
-    # ghost planes carry the input F through (BC-mirrored pre-sweep values,
-    # exactly what the XLA path's interior-only .set leaves in place)
-    d1 = _copy(F_hbm.at[pl.ds(0, 1)], gplane, sems.at[0])
-    d1.wait()
-    d2 = _copy(gplane, out_hbm.at[pl.ds(0, 1)], osems.at[0])
-    d2.wait()
-    d1 = _copy(F_hbm.at[pl.ds(n0 - 1, 1)], gplane, sems.at[0])
-    d1.wait()
-    d2 = _copy(gplane, out_hbm.at[pl.ds(n0 - 1, 1)], osems.at[0])
-    d2.wait()
+    _ghost_planes_out(g, F_hbm, out_hbm, gplane, sems, osems, mirror_out)
 
 
 def _fct_yz_kernel(F_hbm, vel_hbm, out_hbm, Fb, vbuf, ob, gplane,
-                   sems, osems, *, g: Grid3D, axis: int, dt, B: int):
+                   sems, osems, *, g: Grid3D, axis: int, dt, B: int,
+                   mirror_out: bool):
     """y- or z-sweep: shifts are in-plane (sublane/lane rolls), so chunks
     need no i-halo at all. Double-buffered."""
     n0 = g.nx + 2
@@ -681,6 +758,8 @@ def _fct_yz_kernel(F_hbm, vel_hbm, out_hbm, Fb, vbuf, ob, gplane,
 
         f_new = _sweep_inplane(g, dt, Fb[pl.ds(slot * B, B)],
                                vbuf[pl.ds(slot * B, B)], axis, sc)
+        if mirror_out:
+            f_new = _mirror_jk(g, f_new)
 
         @pl.when(c >= 2)
         def _():
@@ -695,20 +774,16 @@ def _fct_yz_kernel(F_hbm, vel_hbm, out_hbm, Fb, vbuf, ob, gplane,
     for c in (nc - 2, nc - 1):
         out_dma(c % 2, c).wait()
 
-    d1 = _copy(F_hbm.at[pl.ds(0, 1)], gplane, sems.at[0])
-    d1.wait()
-    d2 = _copy(gplane, out_hbm.at[pl.ds(0, 1)], osems.at[0])
-    d2.wait()
-    d1 = _copy(F_hbm.at[pl.ds(n0 - 1, 1)], gplane, sems.at[0])
-    d1.wait()
-    d2 = _copy(gplane, out_hbm.at[pl.ds(n0 - 1, 1)], osems.at[0])
-    d2.wait()
+    _ghost_planes_out(g, F_hbm, out_hbm, gplane, sems, osems, mirror_out)
 
 
 def pallas_fct3d_sweep(g: Grid3D, dt, F, vel, axis: int,
-                       interpret: bool = False):
+                       interpret: bool = False, mirror_out: bool = False):
     """One Rudman FCT sweep along `axis` (0=x, 1=y, 2=z) with the
-    reference's literal (non-uniform) scale factors — see ops/fct3d.py."""
+    reference's literal (non-uniform) scale factors — see ops/fct3d.py.
+    mirror_out=True (the step's last sweep) writes fresh ghost mirrors of
+    the swept F — the step's final BC on F — instead of passing the input
+    ghosts through."""
     B = _pick_chunk(g.nx)
     shape = jax.ShapeDtypeStruct(F.shape, F.dtype)
     plane = F.shape[1:]
@@ -716,7 +791,7 @@ def pallas_fct3d_sweep(g: Grid3D, dt, F, vel, axis: int,
     if axis == 0:
         E = B + 6
         return pl.pallas_call(
-            partial(_fct_x_kernel, g=g, dt=dt, B=B),
+            partial(_fct_x_kernel, g=g, dt=dt, B=B, mirror_out=mirror_out),
             out_shape=shape,
             in_specs=_any_specs(2),
             out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
@@ -729,7 +804,8 @@ def pallas_fct3d_sweep(g: Grid3D, dt, F, vel, axis: int,
             interpret=interpret,
         )(F, vel)
     return pl.pallas_call(
-        partial(_fct_yz_kernel, g=g, axis=axis, dt=dt, B=B),
+        partial(_fct_yz_kernel, g=g, axis=axis, dt=dt, B=B,
+                mirror_out=mirror_out),
         out_shape=shape,
         in_specs=_any_specs(2),
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),

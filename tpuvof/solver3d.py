@@ -134,6 +134,9 @@ def _step_3d_pallas(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
         g, state.u, state.v, state.w, state.F, state.p)
     state = State3D(F=F, u=u, v=v, w=w, p=p)
     state = _step_3d_pallas_padded(g, fl, dt, n_jacobi, state, phase)
+    u, v, w, F, p = _apply_bc_3d_win(
+        g, state.u, state.v, state.w, state.F, state.p)
+    state = State3D(F=F, u=u, v=v, w=w, p=p)
     n1p, n2p = g.ny + 2, g.nz + 2
     return State3D(*(a[:, :n1p, :n2p] for a in state))
 
@@ -154,16 +157,27 @@ def _step_3d_pallas_padded(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
       instead of carrying u_prev through; every such position is either
       rewritten by the following BC or provably zero under the XLA path
       (u's i=0 ghost plane etc. — never written, init zero).
-    - the XLA path's first two BC applications are dropped entirely
-      (callers apply one BC to the *initial* state instead): between this
-      step's entry and its final BC, no kernel reads a position those BCs
-      would change. predict reads F only through center-sampled rho/nu and
-      the velocity mirrors it needs were set by the previous step's final
-      BC; the Jacobi kernel zeroes the ghost ring itself; the correction
-      masks out every row that could see a p/F/rho ghost; and the sweeps
-      need only F's mirrors (set by the previous final BC — F is untouched
-      in between) plus the wall zeros the correction's masks already wrote
-      into u/v/w."""
+    - ALL of the XLA path's per-step BC applications are dropped (the
+      whole-volume surface pass cost 1.8 ms/step at 200^3, 30% of the
+      step). The ghost values the kernels actually consume are produced
+      where they are needed instead:
+      * predict reconstructs the velocity wall/ghost values on its loaded
+        blocks (_bc_fix_uvw — bit-exact replica of set_BC's y/x/z face
+        order); F enters predict only through center-sampled rho/nu.
+      * the Jacobi kernel zeroes its own ghost ring; the correction masks
+        out every row that could see a p/F/rho ghost.
+      * the sweeps need F's ghost mirrors AS OF THE END OF THE PREVIOUS
+        STEP (the reference applies set_BC before the sweeps and never
+        updates ghosts inside them — stale-mirror semantics). The step's
+        LAST sweep therefore writes fresh mirrors of its own output
+        (mirror_out=True) and the earlier sweeps pass ghosts through, so
+        the next step's sweeps read exactly the values the XLA path's BC
+        would have materialized. Velocity wall zeros the sweeps read come
+        from the correction's masks.
+      Callers must apply one full BC to the *initial* state (stands in
+      for the first step's pre-sweep BC) and one after the last step
+      (u/v/w/p ghost parity of the returned state); simulate_3d and
+      _step_3d_pallas do both."""
     import jax as _jax
 
     from .pallas_kernels.step3d import (
@@ -183,9 +197,10 @@ def _step_3d_pallas_padded(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
     u, v, w = pallas_correct3d(g, fl, dt, us, vs, ws, p, F,
                                interpret=interpret)
     vels = (u, v, w)
-    for ax in _SWEEP_ORDER[phase]:
-        F = pallas_fct3d_sweep(g, dt, F, vels[ax], ax, interpret=interpret)
-    u, v, w, F, p = _apply_bc_3d_win(g, u, v, w, F, p)
+    order = _SWEEP_ORDER[phase]
+    for idx, ax in enumerate(order):
+        F = pallas_fct3d_sweep(g, dt, F, vels[ax], ax, interpret=interpret,
+                               mirror_out=(idx == 2))
     return State3D(F=F, u=u, v=v, w=w, p=p)
 
 
@@ -245,8 +260,9 @@ def simulate_3d(g: Grid3D, state: State3D, n_steps: int,
         state = State3D(
             *(jnp.pad(a, ((0, 0), (0, p1), (0, p2))) for a in state)
         )
-        # one entry BC stands in for the XLA path's first two per-step BC
-        # applications (see _step_3d_pallas_padded's docstring)
+        # one entry BC stands in for the first step's pre-sweep BC; one
+        # exit BC (below) restores u/v/w/p ghost parity of the returned
+        # state (see _step_3d_pallas_padded's docstring)
         u, v, w, F, p = _apply_bc_3d_win(
             g, state.u, state.v, state.w, state.F, state.p)
         state = State3D(F=F, u=u, v=v, w=w, p=p)
@@ -267,6 +283,9 @@ def simulate_3d(g: Grid3D, state: State3D, n_steps: int,
     for r in range(rem):
         state = stepper(state, (r + 1) % 3)
     if use_pallas:
+        u, v, w, F, p = _apply_bc_3d_win(
+            g, state.u, state.v, state.w, state.F, state.p)
+        state = State3D(F=F, u=u, v=v, w=w, p=p)
         n1p, n2p = g.ny + 2, g.nz + 2
         state = State3D(*(a[:, :n1p, :n2p] for a in state))
     return state
