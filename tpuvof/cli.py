@@ -178,7 +178,7 @@ def run_3d(args) -> int:
                   file=sys.stderr)
             return 2
         dec = Decomp3D(g, Mesh(np.array(devs[:px]), ("mx",)),
-                       dt=args.dt, n_jacobi=args.jacobi)
+                       dt=args.dt, n_jacobi=args.jacobi, backend=backend)
     os.makedirs(args.outdir, exist_ok=True)
     print(f">>> 3-D VOF dam break: {n}^3, dt = {args.dt:4.2e}, "
           f"{args.steps} steps, VTK every {args.frame_every}"

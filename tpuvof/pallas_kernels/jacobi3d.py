@@ -53,20 +53,25 @@ def _padded_dims(g: Grid3D):
     return g.nx + 2, n1, n2
 
 
-def _vmem_need(g: Grid3D, b: int) -> int:
+def _vmem_need(g: Grid3D, b: int, nloc: int | None = None) -> int:
     """p (aliased in/out) resident + ~36 chunk-block temporaries (measured:
     Mosaic's stack at 200^3/B=4 was 125.3M with rhs also resident, i.e.
     ~32 blocks beyond the volumes; rhs is now streamed from HBM)."""
     n0, n1, n2 = _padded_dims(g)
+    if nloc is not None:
+        n0 = nloc + 2
     vol = n0 * n1 * n2 * 4
     return vol + 36 * (b + 2) * n1 * n2 * 4
 
 
-def _pick_chunk(nx: int, g: Grid3D | None = None) -> int | None:
+def _pick_chunk(nx: int, g: Grid3D | None = None,
+                nloc: int | None = None) -> int | None:
     """Largest divisor chunk whose working set fits VMEM (smaller chunks
-    shrink only the temporaries; p and rhs stay whole-volume)."""
+    shrink only the temporaries; p and rhs stay whole-volume). `nx` is the
+    plane count being chunked (= nloc when given)."""
     for b in (8, 4, 2, 1):
-        if nx % b == 0 and (g is None or _vmem_need(g, b) <= 120 * 2**20):
+        if nx % b == 0 and (g is None
+                            or _vmem_need(g, b, nloc) <= 120 * 2**20):
             return b
     return None
 
@@ -75,16 +80,25 @@ def jacobi3d_fits_vmem(g: Grid3D) -> bool:
     return _pick_chunk(g.nx, g) is not None
 
 
-def _kernel(p_ref, rhs_ref, out_ref, wplane, rhs_buf, sem, *, g: Grid3D,
-            n_iter: int, B: int):
+def _kernel(p_ref, rhs_ref, gib, out_ref, wplane, rhs_buf, sem,
+            *, g: Grid3D, n_iter: int, B: int, nloc: int):
     # rhs_buf has two slots: chunk c+1's rhs DMA is issued before chunk c's
     # compute, hiding the 250 per-chunk-per-iteration HBM waits that
-    # serialized the round-1 kernel
+    # serialized the round-1 kernel.
     # plane dims from the (possibly lane/sublane-padded) buffers; masks use
-    # explicit grid bounds so the pad region is held at zero
+    # explicit grid bounds so the pad region is held at zero.
+    # nloc/gib: the volume holds local planes whose plane l has GLOBAL
+    # i-index gib[0] + l (serial: nloc = g.nx, gib = [0]; gib is an SMEM
+    # scalar because the shard offset is traced under shard_map). The masks
+    # are global, so the distributed wide-halo caller (parallel/dist3d.py)
+    # runs the identical kernel on an extended shard block: planes outside
+    # the global interior stay zero (the Neumann wall condition needs
+    # exactly that), halo-edge planes go progressively stale and are
+    # discarded.
+    gi_base = gib[0]
     n1p, n2p = p_ref.shape[1], p_ref.shape[2]
     dtype = p_ref.dtype
-    nc = g.nx // B
+    nc = nloc // B
     bshape = (B, n1p, n2p)
 
     # ---- zero the ghost ring + pad region (chunk-wise; stands in for the
@@ -92,6 +106,13 @@ def _kernel(p_ref, rhs_ref, out_ref, wplane, rhs_buf, sem, *, g: Grid3D,
     j = lax.broadcasted_iota(jnp.int32, bshape, 1)
     k = lax.broadcasted_iota(jnp.int32, bshape, 2)
     ghost_jk = (j == 0) | (j >= g.ny + 1) | (k == 0) | (k >= g.nz + 1)
+    iota0 = lax.broadcasted_iota(jnp.int32, bshape, 0)
+
+    def ghost_for(i0):
+        # global-i ghost: positions at/beyond the true walls stay zero
+        # (serial chunks never contain them — mask compiles away)
+        gi = iota0 + (i0 + gi_base)
+        return ghost_jk | (gi <= 0) | (gi >= g.nx + 1)
 
     def zero_body(c, _):
         i0 = 1 + c * B
@@ -101,13 +122,13 @@ def _kernel(p_ref, rhs_ref, out_ref, wplane, rhs_buf, sem, *, g: Grid3D,
         # all-zero-input probe returned garbage while interpret mode and
         # 64^3 passed)
         blk = p_ref[pl.ds(i0, B)]
-        out_ref[pl.ds(i0, B)] = jnp.where(ghost_jk, 0.0, blk)
+        out_ref[pl.ds(i0, B)] = jnp.where(ghost_for(i0), 0.0, blk)
         return 0
 
     lax.fori_loop(0, nc, zero_body, 0)
     zp = jnp.zeros((1, n1p, n2p), dtype)
     out_ref[pl.ds(0, 1)] = zp
-    out_ref[pl.ds(g.nx + 1, 1)] = zp
+    out_ref[pl.ds(nloc + 1, 1)] = zp
 
     # ---- the 8 edge-class diagonal constants (f64 accumulation order of
     # solver3d._poisson_coeffs_3d, cast to the field dtype) ----
@@ -131,7 +152,7 @@ def _kernel(p_ref, rhs_ref, out_ref, wplane, rhs_buf, sem, *, g: Grid3D,
     ez = (k == 1) | (k == g.nz)
 
     def ap_inv_for(i0):
-        gi = lax.broadcasted_iota(jnp.int32, bshape, 0) + i0
+        gi = lax.broadcasted_iota(jnp.int32, bshape, 0) + (i0 + gi_base)
         ex = (gi == 1) | (gi == g.nx)
         return jnp.where(
             ex,
@@ -189,7 +210,7 @@ def _kernel(p_ref, rhs_ref, out_ref, wplane, rhs_buf, sem, *, g: Grid3D,
                 - cz * jnp.roll(center, -1, axis=2)
                 - cz * jnp.roll(center, 1, axis=2)
             ) * ap_inv_for(i0)
-            out_ref[pl.ds(i0, B)] = jnp.where(ghost_jk, 0.0, val)
+            out_ref[pl.ds(i0, B)] = jnp.where(ghost_for(i0), 0.0, val)
             return 0
 
         lax.fori_loop(0, nc, chunk_body, 0)
@@ -198,18 +219,23 @@ def _kernel(p_ref, rhs_ref, out_ref, wplane, rhs_buf, sem, *, g: Grid3D,
     lax.fori_loop(0, n_iter, iter_body, 0)
 
 
-def pallas_jacobi_3d(g: Grid3D, n_iter: int, p, rhs, interpret: bool = False):
-    """p, rhs: full (nx+2, ny+2, nz+2) volumes; rhs must be zero outside the
-    interior. Returns the iterated p with a zeroed ghost ring (the caller's
-    BC re-mirrors it)."""
-    B = _pick_chunk(g.nx, g)
+def pallas_jacobi_3d(g: Grid3D, n_iter: int, p, rhs, interpret: bool = False,
+                     nloc: int | None = None, gi_base: int = 0):
+    """p, rhs: full (nloc+2, ny_pad, nz_pad) volumes (serial: nloc = g.nx);
+    rhs must be zero outside the global interior. Returns the iterated p
+    with a zeroed ghost ring (reconstructed by consumers). nloc/gi_base
+    support the distributed wide-halo caller — see _kernel."""
+    if nloc is None:
+        nloc = g.nx
+    B = _pick_chunk(nloc, g, nloc)
     n1p, n2p = p.shape[1], p.shape[2]
     return pl.pallas_call(
-        partial(_kernel, g=g, n_iter=n_iter, B=B),
+        partial(_kernel, g=g, n_iter=n_iter, B=B, nloc=nloc),
         out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((1, n1p, n2p), p.dtype),
@@ -221,4 +247,4 @@ def pallas_jacobi_3d(g: Grid3D, n_iter: int, p, rhs, interpret: bool = False):
         input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=124 * 2**20),
         interpret=interpret,
-    )(p, rhs)
+    )(p, rhs, jnp.atleast_1d(jnp.asarray(gi_base, jnp.int32)))

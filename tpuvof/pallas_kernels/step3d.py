@@ -263,17 +263,24 @@ def _predict_block(g: Grid3D, fl: Fluid, dt, u, v, w, F, gi0):
     return us, vs, ws, rhs
 
 
-def _predict_kernel(u_hbm, v_hbm, w_hbm, F_hbm,
+def _predict_kernel(u_hbm, v_hbm, w_hbm, F_hbm, gib,
                     us_hbm, vs_hbm, ws_hbm, rhs_hbm,
                     ub, vb, wb, Fb, usb, vsb, wsb, rhsb, zplane,
                     sems, osems,
-                    *, g: Grid3D, fl: Fluid, dt, B: int):
+                    *, g: Grid3D, fl: Fluid, dt, B: int, nloc: int):
     """Double-buffered slab loop. Ext block covers [i0-2, i0+B+2) (B+4
     planes) so the rhs of every stored plane sees a valid u*(i+1);
     first/last chunks use clamped ext ranges whose static in-block offsets
-    (1/2/3) are selected by three predicated staging branches."""
-    n0 = g.nx + 2
-    nc = g.nx // B
+    (1/2/3) are selected by three predicated staging branches.
+
+    nloc/gib: local plane l has GLOBAL i-index gib[0] + l (serial:
+    nloc = g.nx, gib = [0]). All masks are global, so the distributed
+    wide-halo caller runs the identical kernel on an extended shard block
+    (gib is an SMEM scalar because the shard offset is traced under
+    shard_map)."""
+    gi_base = gib[0]
+    n0 = nloc + 2
+    nc = nloc // B
     E = B + 4
 
     def ext_start(c):
@@ -316,10 +323,10 @@ def _predict_kernel(u_hbm, v_hbm, w_hbm, F_hbm,
         # in-block BC: the state's velocity ghosts are NOT maintained
         # between steps (no per-step XLA BC pass) — reconstruct them here
         u_, v_, w_ = ub[pl.ds(s0, E)], vb[pl.ds(s0, E)], wb[pl.ds(s0, E)]
-        gi = _iota3(u_.shape, 0) + es
+        gi = _iota3(u_.shape, 0) + es + gi_base
         u_, v_, w_ = _bc_fix_uvw(g, u_, v_, w_, gi)
         us, vs, ws, rhs = _predict_block(
-            g, fl, dt, u_, v_, w_, Fb[pl.ds(s0, E)], es)
+            g, fl, dt, u_, v_, w_, Fb[pl.ds(s0, E)], es + gi_base)
 
         # the staging slot was last used by chunk c-2: drain its output DMA
         @pl.when(c >= 2)
@@ -360,17 +367,21 @@ def _predict_kernel(u_hbm, v_hbm, w_hbm, F_hbm,
 
 
 def pallas_predict3d_rhs(g: Grid3D, fl: Fluid, dt, u, v, w, F,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         nloc: int | None = None, gi_base: int = 0):
     """Returns (u_star, v_star, w_star, rhs), all full-shape."""
-    B = _pick_chunk(g.nx)
+    if nloc is None:
+        nloc = g.nx
+    B = _pick_chunk(nloc)
     shape = jax.ShapeDtypeStruct(F.shape, F.dtype)
     E = B + 4
     plane = F.shape[1:]
     blk = lambda n: pltpu.VMEM((n, *plane), F.dtype)  # noqa: E731
     return pl.pallas_call(
-        partial(_predict_kernel, g=g, fl=fl, dt=dt, B=B),
+        partial(_predict_kernel, g=g, fl=fl, dt=dt, B=B, nloc=nloc),
         out_shape=(shape,) * 4,
-        in_specs=_any_specs(4),
+        in_specs=_any_specs(4)
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM)],
         out_specs=tuple(_any_specs(4)),
         scratch_shapes=[
             blk(2 * E), blk(2 * E), blk(2 * E), blk(2 * E),  # ext in x2 slots
@@ -381,7 +392,7 @@ def pallas_predict3d_rhs(g: Grid3D, fl: Fluid, dt, u, v, w, F,
         ],
         compiler_params=_vmem_params(52 * E * plane[0] * plane[1] * 4),
         interpret=interpret,
-    )(u, v, w, F)
+    )(u, v, w, F, jnp.atleast_1d(jnp.asarray(gi_base, jnp.int32)))
 
 
 # ----------------------------------------------------------------------
@@ -389,15 +400,17 @@ def pallas_predict3d_rhs(g: Grid3D, fl: Fluid, dt, u, v, w, F,
 # ----------------------------------------------------------------------
 
 
-def _correct_kernel(us_hbm, vs_hbm, ws_hbm, p_hbm, F_hbm,
+def _correct_kernel(us_hbm, vs_hbm, ws_hbm, p_hbm, F_hbm, gib,
                     u_hbm, v_hbm, w_hbm,
                     usb, vsb, wsb, pb, Fb, ub, vb, wb, zplane,
                     sems, osems,
-                    *, g: Grid3D, fl: Fluid, dt, B: int):
+                    *, g: Grid3D, fl: Fluid, dt, B: int, nloc: int):
     """Double-buffered; all chunks are uniform (p/F carry a one-plane west
-    halo, ext [i0-1, i0+B+1) stays in bounds at both ends)."""
-    n0 = g.nx + 2
-    nc = g.nx // B
+    halo, ext [i0-1, i0+B+1) stays in bounds at both ends). nloc/gib:
+    see _predict_kernel."""
+    gi_base = gib[0]
+    n0 = nloc + 2
+    nc = nloc // B
     E1 = B + 1
 
     ins = ((us_hbm, usb, 0, B), (vs_hbm, vsb, 0, B), (ws_hbm, wsb, 0, B),
@@ -441,7 +454,7 @@ def _correct_kernel(us_hbm, vs_hbm, ws_hbm, p_hbm, F_hbm,
         r_w = lax.slice_in_dim(rho, 0, B, axis=0)
 
         shape = p_c.shape
-        gi = _iota3(shape, 0) + i0
+        gi = _iota3(shape, 0) + i0 + gi_base
         j = _iota3(shape, 1)
         k = _iota3(shape, 2)
         j_int = (j >= 1) & (j <= g.ny)
@@ -487,18 +500,22 @@ def _correct_kernel(us_hbm, vs_hbm, ws_hbm, p_hbm, F_hbm,
 
 
 def pallas_correct3d(g: Grid3D, fl: Fluid, dt, u_star, v_star, w_star, p, F,
-                     interpret: bool = False):
-    """Returns (u, v, w): zero outside the update regions — every such
-    position (wall faces and ghosts) is rewritten by the apply_bc_3d that
-    immediately follows in the step (solver3d.step_3d)."""
-    B = _pick_chunk(g.nx)
+                     interpret: bool = False,
+                     nloc: int | None = None, gi_base: int = 0):
+    """Returns (u, v, w): zero outside the update regions — wall faces and
+    ghosts are reconstructed by the consumers (predict's in-block BC) or
+    the simulate-exit BC."""
+    if nloc is None:
+        nloc = g.nx
+    B = _pick_chunk(nloc)
     shape = jax.ShapeDtypeStruct(F.shape, F.dtype)
     plane = F.shape[1:]
     blk = lambda n: pltpu.VMEM((n, *plane), F.dtype)  # noqa: E731
     return pl.pallas_call(
-        partial(_correct_kernel, g=g, fl=fl, dt=dt, B=B),
+        partial(_correct_kernel, g=g, fl=fl, dt=dt, B=B, nloc=nloc),
         out_shape=(shape,) * 3,
-        in_specs=_any_specs(5),
+        in_specs=_any_specs(5)
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM)],
         out_specs=tuple(_any_specs(3)),
         scratch_shapes=[
             blk(2 * B), blk(2 * B), blk(2 * B),
@@ -509,7 +526,8 @@ def pallas_correct3d(g: Grid3D, fl: Fluid, dt, u_star, v_star, w_star, p, F,
         ],
         compiler_params=_vmem_params(44 * (B + 1) * plane[0] * plane[1] * 4),
         interpret=interpret,
-    )(u_star, v_star, w_star, p, F)
+    )(u_star, v_star, w_star, p, F,
+      jnp.atleast_1d(jnp.asarray(gi_base, jnp.int32)))
 
 
 # ----------------------------------------------------------------------
@@ -616,15 +634,17 @@ def _scales(g: Grid3D, axis: int):
     return (vol, g.dx * g.dy, g.dy * g.dx / vol, g.dz, g.dz)
 
 
-def _ghost_planes_out(g, F_hbm, out_hbm, gplane, sems, osems, mirror_out):
+def _ghost_planes_out(nloc, F_hbm, out_hbm, gplane, sems, osems, mirror_out):
     """i-ghost planes of a sweep's output. Pass-through sweeps carry the
     input F's (stale-mirror) ghost planes, exactly like the XLA path's
     interior-only .set; the step's LAST sweep instead writes fresh mirrors
-    of its own output planes 1/nx (the final-BC x-face rule)."""
-    n0 = g.nx + 2
+    of its own output planes 1/nloc (the final-BC x-face rule; in the
+    distributed wide-halo case these planes are sacrificial and the
+    caller's masked plane fix handles the true walls)."""
+    n0 = nloc + 2
     if mirror_out:
         src_lo = out_hbm.at[pl.ds(1, 1)]
-        src_hi = out_hbm.at[pl.ds(g.nx, 1)]
+        src_hi = out_hbm.at[pl.ds(nloc, 1)]
     else:
         src_lo = F_hbm.at[pl.ds(0, 1)]
         src_hi = F_hbm.at[pl.ds(n0 - 1, 1)]
@@ -638,8 +658,9 @@ def _ghost_planes_out(g, F_hbm, out_hbm, gplane, sems, osems, mirror_out):
     d2.wait()
 
 
-def _fct_x_kernel(F_hbm, u_hbm, out_hbm, Fb, ubuf, ob, gplane, sems, osems,
-                  *, g: Grid3D, dt, B: int, mirror_out: bool):
+def _fct_x_kernel(F_hbm, u_hbm, gib, out_hbm, Fb, ubuf, ob, gplane,
+                  sems, osems,
+                  *, g: Grid3D, dt, B: int, mirror_out: bool, nloc: int):
     """x-sweep: shifts run along the slab axis, so chunks carry a 3-plane
     halo (ext block E = B+6). First/last chunks clamp the ext range; their
     static in-block offsets (1/3/5) are selected by predicated staging
@@ -650,8 +671,9 @@ def _fct_x_kernel(F_hbm, u_hbm, out_hbm, Fb, ubuf, ob, gplane, sems, osems,
     at 128^3/200^3 on the v5e — the round trips it saves are already
     hidden behind compute by the double buffering — so the sweeps stay
     three separate kernels (git history has the fused implementation)."""
-    n0 = g.nx + 2
-    nc = g.nx // B
+    gi_base = gib[0]
+    n0 = nloc + 2
+    nc = nloc // B
     E = B + 6
     sc = _scales(g, 0)
 
@@ -688,7 +710,7 @@ def _fct_x_kernel(F_hbm, u_hbm, out_hbm, Fb, ubuf, ob, gplane, sems, osems,
 
         F = Fb[pl.ds(slot * E, E)]
         vel = ubuf[pl.ds(slot * E, E)]
-        f_new = _sweep_x_ext(g, dt, F, vel, ext_start(c), sc)
+        f_new = _sweep_x_ext(g, dt, F, vel, ext_start(c) + gi_base, sc)
         if mirror_out:
             # last sweep of the step: write fresh j/k ghost mirrors of the
             # swept F (stands in for the step's final BC on F; the sweeps
@@ -717,16 +739,17 @@ def _fct_x_kernel(F_hbm, u_hbm, out_hbm, Fb, ubuf, ob, gplane, sems, osems,
     for c in (nc - 2, nc - 1):
         out_dma(c % 2, c).wait()
 
-    _ghost_planes_out(g, F_hbm, out_hbm, gplane, sems, osems, mirror_out)
+    _ghost_planes_out(nloc, F_hbm, out_hbm, gplane, sems, osems,
+                      mirror_out)
 
 
 def _fct_yz_kernel(F_hbm, vel_hbm, out_hbm, Fb, vbuf, ob, gplane,
                    sems, osems, *, g: Grid3D, axis: int, dt, B: int,
-                   mirror_out: bool):
+                   mirror_out: bool, nloc: int):
     """y- or z-sweep: shifts are in-plane (sublane/lane rolls), so chunks
     need no i-halo at all. Double-buffered."""
-    n0 = g.nx + 2
-    nc = g.nx // B
+    n0 = nloc + 2
+    nc = nloc // B
     sc = _scales(g, axis)
 
     def in_dma(slot, c, i):
@@ -774,26 +797,32 @@ def _fct_yz_kernel(F_hbm, vel_hbm, out_hbm, Fb, vbuf, ob, gplane,
     for c in (nc - 2, nc - 1):
         out_dma(c % 2, c).wait()
 
-    _ghost_planes_out(g, F_hbm, out_hbm, gplane, sems, osems, mirror_out)
+    _ghost_planes_out(nloc, F_hbm, out_hbm, gplane, sems, osems,
+                      mirror_out)
 
 
 def pallas_fct3d_sweep(g: Grid3D, dt, F, vel, axis: int,
-                       interpret: bool = False, mirror_out: bool = False):
+                       interpret: bool = False, mirror_out: bool = False,
+                       nloc: int | None = None, gi_base: int = 0):
     """One Rudman FCT sweep along `axis` (0=x, 1=y, 2=z) with the
     reference's literal (non-uniform) scale factors — see ops/fct3d.py.
     mirror_out=True (the step's last sweep) writes fresh ghost mirrors of
     the swept F — the step's final BC on F — instead of passing the input
-    ghosts through."""
-    B = _pick_chunk(g.nx)
+    ghosts through. nloc/gi_base: see _predict_kernel."""
+    if nloc is None:
+        nloc = g.nx
+    B = _pick_chunk(nloc)
     shape = jax.ShapeDtypeStruct(F.shape, F.dtype)
     plane = F.shape[1:]
     blk = lambda n: pltpu.VMEM((n, *plane), F.dtype)  # noqa: E731
     if axis == 0:
         E = B + 6
         return pl.pallas_call(
-            partial(_fct_x_kernel, g=g, dt=dt, B=B, mirror_out=mirror_out),
+            partial(_fct_x_kernel, g=g, dt=dt, B=B, mirror_out=mirror_out,
+                    nloc=nloc),
             out_shape=shape,
-            in_specs=_any_specs(2),
+            in_specs=_any_specs(2)
+            + [pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             scratch_shapes=[
                 blk(2 * E), blk(2 * E), blk(2 * B), blk(1),
@@ -802,10 +831,10 @@ def pallas_fct3d_sweep(g: Grid3D, dt, F, vel, axis: int,
             ],
             compiler_params=_vmem_params(38 * E * plane[0] * plane[1] * 4),
             interpret=interpret,
-        )(F, vel)
+        )(F, vel, jnp.atleast_1d(jnp.asarray(gi_base, jnp.int32)))
     return pl.pallas_call(
         partial(_fct_yz_kernel, g=g, axis=axis, dt=dt, B=B,
-                mirror_out=mirror_out),
+                mirror_out=mirror_out, nloc=nloc),
         out_shape=shape,
         in_specs=_any_specs(2),
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),

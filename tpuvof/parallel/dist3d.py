@@ -38,6 +38,8 @@ from ..ops.momentum3d import predict_velocity_3d, update_velocity_3d
 
 __all__ = ["Decomp3D"]
 
+_SWEEP_ORDER3 = {0: (0, 1, 2), 1: (1, 2, 0), 2: (2, 0, 1)}
+
 
 from dataclasses import dataclass
 
@@ -62,10 +64,20 @@ def _shift_x(sl, axis_name: str, n: int, up: bool):
 
 
 class Decomp3D:
-    """x-axis domain decomposition of a 3-D grid over a 1-axis mesh."""
+    """x-axis domain decomposition of a 3-D grid over a 1-axis mesh.
+
+    backend='pallas' runs the whole per-shard step on the slab-tiled
+    kernels (pallas_kernels/step3d.py, jacobi3d.py) via the wide-halo
+    scheme the 2-D Decomp uses: ONE neighbor exchange of W = n_jacobi+12
+    planes per step, then the entire step on the extended local block with
+    global-index masks (the serial kernels are the gi_base=0 special case
+    of the same masks), keeping the fully-valid central planes. Requires
+    W <= nx/px (each halo comes from ONE neighbor) and even nx/px; falls
+    back to the XLA engine with a warning otherwise."""
 
     def __init__(self, g: Grid3D, mesh: Mesh, fl: Fluid | None = None,
-                 dt: float = 4e-6, n_jacobi: int = 10):
+                 dt: float = 4e-6, n_jacobi: int = 10,
+                 backend: str = "xla"):
         if len(mesh.axis_names) != 1:
             raise ValueError("Decomp3D expects a 1-axis mesh (x slabs)")
         self.g = g
@@ -78,6 +90,26 @@ class Decomp3D:
         self.fl = fl or Fluid()
         self.dt = dt
         self.n_jacobi = n_jacobi
+        self.backend = backend
+        if backend == "pallas":
+            W = n_jacobi + 12
+            while (self.nxl + 2 * W) % 8:
+                W += 1
+            self.W = W
+            self.nloc = self.nxl + 2 * W
+            ok = W <= self.nxl and self.nxl % 2 == 0
+            if ok:
+                from ..pallas_kernels.jacobi3d import _pick_chunk as _jpick
+
+                ok = _jpick(self.nloc, g, self.nloc) is not None
+            if not ok:
+                import warnings
+
+                warnings.warn(
+                    f"Decomp3D backend='pallas' needs even nx/px >= "
+                    f"W={W} (nx/px={self.nxl}) and the extended pressure "
+                    "volume VMEM-resident; using the XLA engine.")
+                self.backend = "xla"
         self._run = None
 
     # ---- shard coordinates (traced inside shard_map) ----
@@ -250,6 +282,70 @@ class Decomp3D:
         u, v, w, F, p = self._bc(u, v, w, F, p)
         return F, u, v, w, p
 
+    # ---- wide-halo pallas engine (backend='pallas') ----
+    def _widen_W(self, a):
+        """[lo(W), a, hi(W)] along axis 0. a's own ghost planes stay in
+        place: for interior shards they hold REAL neighbor plane values
+        (the previous step's extraction keeps the fully-valid planes
+        adjacent to the center), for edge shards the wall mirrors. lo/hi
+        ship the next W planes outward from the neighbors; zeros beyond
+        the walls are inert under the kernels' global-index masks."""
+        W, nxl = self.W, self.nxl
+        if self.px == 1:
+            z = jnp.zeros((W,) + a.shape[1:], a.dtype)
+            return jnp.concatenate([z, a, z], axis=0)
+        lo = _shift_x(a[nxl - W: nxl], self.ax, self.px, up=True)
+        hi = _shift_x(a[2: W + 2], self.ax, self.px, up=False)
+        zero = jnp.zeros_like(lo)
+        lo = jnp.where(self._is_left(), zero, lo)
+        hi = jnp.where(self._is_right(), zero, hi)
+        return jnp.concatenate([lo, a, hi], axis=0)
+
+    def _local_step_pallas(self, F, u, v, w, p, phase: int):
+        """One step on jk-PADDED local blocks: ONE W-plane exchange, the
+        whole step on the extended block via the serial slab kernels with
+        (nloc, gi_base) set to the shard's window, then keep the central
+        planes. The serial step is the px=1/gi_base=-W special case up to
+        the sacrificial halo."""
+        import jax as _jax
+
+        from ..pallas_kernels.jacobi3d import pallas_jacobi_3d
+        from ..pallas_kernels.step3d import (
+            pallas_correct3d,
+            pallas_fct3d_sweep,
+            pallas_predict3d_rhs,
+        )
+
+        interpret = _jax.default_backend() == "cpu"
+        g, W, nloc, nxl = self.g, self.W, self.nloc, self.nxl
+        gi_base = self._xi() * nxl - W
+
+        Fx, ux, vx, wx, pxx = (self._widen_W(a) for a in (F, u, v, w, p))
+        us, vs, ws, rhs = pallas_predict3d_rhs(
+            g, self.fl, self.dt, ux, vx, wx, Fx,
+            interpret=interpret, nloc=nloc, gi_base=gi_base)
+        pj = pallas_jacobi_3d(
+            g, self.n_jacobi, pxx, rhs,
+            interpret=interpret, nloc=nloc, gi_base=gi_base)
+        uo, vo, wo = pallas_correct3d(
+            g, self.fl, self.dt, us, vs, ws, pj, Fx,
+            interpret=interpret, nloc=nloc, gi_base=gi_base)
+        vels = (uo, vo, wo)
+        Fo = Fx
+        for idx, axn in enumerate(_SWEEP_ORDER3[phase]):
+            Fo = pallas_fct3d_sweep(
+                g, self.dt, Fo, vels[axn], axn, interpret=interpret,
+                mirror_out=(idx == 2), nloc=nloc, gi_base=gi_base)
+        sl = slice(W, W + nxl + 2)
+        F, u, v, w, p = Fo[sl], uo[sl], vo[sl], wo[sl], pj[sl]
+        # global-wall F ghost planes sat mid-block during the wide-halo
+        # run (the in-plane sweeps processed them); restore the fresh
+        # mirror the serial mirror_out writes — the stale-mirror feed the
+        # next step's sweeps depend on
+        F = F.at[0].set(jnp.where(self._is_left(), F[1], F[0]))
+        F = F.at[-1].set(jnp.where(self._is_right(), F[-2], F[-1]))
+        return F, u, v, w, p
+
     # ---- host-side layout conversion ----
     def scatter_state(self, state: State3D) -> State3D:
         def scatter(arr):
@@ -281,26 +377,49 @@ class Decomp3D:
     # ---- public API ----
     def make_simulate(self):
         spec = P(self.ax)
+        use_pallas = self.backend == "pallas"
 
         @partial(jax.jit, static_argnums=(1,))
         def run(state: State3D, n_steps: int) -> State3D:
             def body(F, u, v, w, p):
+                if use_pallas:
+                    # entry BC + exchange (first step's pre-sweep mirrors,
+                    # cf. solver3d.simulate_3d), then jk-pad once
+                    u, v, w, F, p = self._bc(u, v, w, F, p)
+                    from ..solver3d import _pad_jk
+
+                    pj, pk = _pad_jk(self.g)
+                    F, u, v, w, p = (
+                        jnp.pad(a, ((0, 0), (0, pj), (0, pk)))
+                        for a in (F, u, v, w, p))
+                    step = self._local_step_pallas
+                else:
+                    step = self._local_step
+
                 def triple(carry, _):
                     s = carry
                     for ph in (1, 2, 0):
-                        s = self._local_step(*s, ph)
+                        s = step(*s, ph)
                     return s, None
 
                 n_triples, rem = divmod(n_steps, 3)
                 carry, _ = lax.scan(triple, (F, u, v, w, p), None,
                                     length=n_triples)
                 for r in range(rem):
-                    carry = self._local_step(*carry, (r + 1) % 3)
+                    carry = step(*carry, (r + 1) % 3)
+                if use_pallas:
+                    n1p, n2p = self.g.ny + 2, self.g.nz + 2
+                    F, u, v, w, p = (a[:, :n1p, :n2p] for a in carry)
+                    # exit BC: u/v/w/p ghost parity of the returned state
+                    u, v, w, F, p = self._bc(u, v, w, F, p)
+                    carry = (F, u, v, w, p)
                 return carry
 
             F, u, v, w, p = jax.shard_map(
                 body, mesh=self.mesh,
                 in_specs=(spec,) * 5, out_specs=(spec,) * 5,
+                # pallas_call out_shapes carry no vma annotation (jax 0.9)
+                check_vma=False,
             )(state.F, state.u, state.v, state.w, state.p)
             return State3D(F=F, u=u, v=v, w=w, p=p)
 
