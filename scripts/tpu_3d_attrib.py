@@ -1,6 +1,6 @@
 """In-process cost attribution for the 3-D pallas step at 200^3.
 
-The standalone per-phase profile (tpu_3d_profile.py) proved vulnerable to
+The standalone per-phase profile (tpu_3d_profile.py, removed) proved vulnerable to
 degraded-TPU windows (one run measured 122 ms/step while simulate_3d did
 5.1 ms in the same hour). Here every variant is timed in ONE process,
 back-to-back, against the same baseline, so only RELATIVE numbers are

@@ -25,8 +25,9 @@ parity — see the git history of this file):
 - ghost-zeroing instead of edge-zeroed coefficient volumes: the reference
   zeroes the off-diagonal coefficients at the walls (3dvof.py:269-275);
   with *constant* off-diagonals the same numbers result if the iterate's
-  ghost ring is zero. The ghost ring is re-mirrored by the BC application
-  right after the projection, so no downstream consumer sees the change.
+  ghost ring is zero. No downstream consumer reads the zeroed ring: the
+  correction kernel masks every ghost-adjacent row and the simulate-exit
+  BC re-mirrors p before the state is returned.
 - the position-dependent diagonal 1/ap is selected from the 8
   f64-precomputed edge-class constants, replicating the XLA path's
   ((((ae+aw)+an)+a_s)+ab)+af accumulation bit-for-bit after the f32 cast.

@@ -30,13 +30,26 @@ that the region masks zero out. The x-direction FCT sweep needs a 3-plane
 i-halo; its first/last chunks use clamped extended blocks with static
 in-block offsets so every ref slice stays in bounds.
 
-All three kernels double-buffer (pallas guide, Patterns/Double Buffering):
+All five kernels double-buffer (pallas guide, Patterns/Double Buffering):
 scratch holds two slots addressed as rows [slot*E, (slot+1)*E); chunk c+1's
 input DMA is issued before chunk c's compute and chunk c's output DMA
 drains while c+1 computes, so the HBM round trips hide behind the VPU
 work. Slots are addressed with pl.ds(traced_start, static_size) loads and
 stores — the one dynamic-indexing form Mosaic supports here (the same
 pattern the chunked Jacobi uses).
+
+Boundary conditions live inside the kernels (no per-step XLA surface
+pass — it cost 1.8 ms/step at 200^3): predict reconstructs set_BC's
+velocity wall/ghost values on its loaded blocks (_bc_fix_uvw), and the
+step's last FCT sweep writes fresh F ghost mirrors (mirror_out); see
+solver3d._step_3d_pallas_padded for the full equivalence argument.
+
+Every kernel is parameterized over (nloc, gi_base): local plane l has
+GLOBAL i-index gi_base + l, and all masks are global, so the distributed
+wide-halo engine (parallel/dist3d.py) runs the identical kernels on
+extended shard blocks — the serial path is the gi_base=0 special case.
+gi_base rides in as an SMEM scalar because the shard offset is traced
+under shard_map.
 
 Numerics mirror ops/momentum3d.py and ops/fct3d.py expression-for-
 expression; equivalence against the XLA path is pinned by
