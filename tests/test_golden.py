@@ -71,3 +71,38 @@ def test_golden_1000_steps_f32_drift_recorded(golden):
     state = _run(jnp.float32, n, int(golden["n_steps"]))
     err_F = np.max(np.abs(np.asarray(state.F, np.float64) - golden["F"]))
     assert err_F <= 5e-3, err_F
+
+
+GOLDEN3D = os.path.join(os.path.dirname(__file__),
+                        "golden_dambreak3d_32_300.npz")
+
+
+@pytest.fixture(scope="module")
+def golden3d():
+    return np.load(GOLDEN3D)
+
+
+def test_golden_3d_300_steps_f64(golden3d):
+    """3-D analogue of the north-star pin: the framework's f64 3-D
+    trajectory (XLA path) vs the loop spec at 32^3 over 300 dam-break
+    steps, plus the step-100 bias checkpoint (same rationale as the 2-D
+    step-300 pin: early horizons catch systematic bias the chaotic end
+    state cannot)."""
+    from tpuvof.grid import Grid3D
+    from tpuvof.solver3d import simulate_3d
+
+    n = int(golden3d["n"])
+    g = Grid3D(n, n, n)
+    s0 = tv.init_state_3d(g, ic=1)
+    s0 = tv.State3D(*(jnp.asarray(x, jnp.float64) for x in s0))
+    mid = simulate_3d(g, s0, int(golden3d["checkpoint"]))
+    assert np.max(np.abs(np.asarray(mid.F) - golden3d["F100"])) <= 1e-9
+    assert np.max(np.abs(np.asarray(mid.u) - golden3d["u100"])) <= 1e-9
+    end = simulate_3d(g, mid, int(golden3d["n_steps"])
+                      - int(golden3d["checkpoint"]))
+    assert np.max(np.abs(np.asarray(end.F) - golden3d["F"])) <= 1e-7
+    assert np.max(np.abs(np.asarray(end.u) - golden3d["u"])) <= 1e-7
+    # the slab-Pallas path inherits this pin transitively: it matches the
+    # XLA path at 1e-10 f64 over multi-step runs (tests/test_3d.py) and
+    # bit-exactly when compiled on the TPU (tests_tpu) — a 300-step
+    # interpret-mode run here would cost ~25 min for no extra signal
