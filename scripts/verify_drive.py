@@ -27,7 +27,8 @@ out = simulate_3d(g, s3, 100, backend="pallas")
 np.asarray(out.F[:1,:1,:8])
 print(f"3-D 200^3 x100 pallas: {time.perf_counter()-t0:.2f}s (incl compile)", flush=True)
 t0 = time.perf_counter()
-out = simulate_3d(g, out, 100, backend="pallas")
+# istep0 continues the reference's istep % 3 rotation across the chunks
+out = simulate_3d(g, out, 100, backend="pallas", istep0=100)
 np.asarray(out.F[:1,:1,:8])
 dt = time.perf_counter()-t0
 F3 = np.asarray(out.F)

@@ -95,13 +95,17 @@ def test_golden_3d_300_steps_f64(golden3d):
     g = Grid3D(n, n, n)
     s0 = tv.init_state_3d(g, ic=1)
     s0 = tv.State3D(*(jnp.asarray(x, jnp.float64) for x in s0))
+    # checkpoint resumed via istep0 so the istep % 3 rotation continues —
+    # chaining simulate_3d WITHOUT istep0 restarts the schedule and
+    # follows a different (2.4e-11-off at this horizon) trajectory
     mid = simulate_3d(g, s0, int(golden3d["checkpoint"]))
     assert np.max(np.abs(np.asarray(mid.F) - golden3d["F100"])) <= 1e-9
     assert np.max(np.abs(np.asarray(mid.u) - golden3d["u100"])) <= 1e-9
     end = simulate_3d(g, mid, int(golden3d["n_steps"])
-                      - int(golden3d["checkpoint"]))
-    assert np.max(np.abs(np.asarray(end.F) - golden3d["F"])) <= 1e-7
-    assert np.max(np.abs(np.asarray(end.u) - golden3d["u"])) <= 1e-7
+                      - int(golden3d["checkpoint"]),
+                      istep0=int(golden3d["checkpoint"]))
+    assert np.max(np.abs(np.asarray(end.F) - golden3d["F"])) <= 1e-9
+    assert np.max(np.abs(np.asarray(end.u) - golden3d["u"])) <= 1e-9
     # the slab-Pallas path inherits this pin transitively: it matches the
     # XLA path at 1e-10 f64 over multi-step runs (tests/test_3d.py) and
     # bit-exactly when compiled on the TPU (tests_tpu) — a 300-step

@@ -96,3 +96,12 @@ def test_distributed_3d_pallas_falls_back_when_shards_too_thin():
     with pytest.warns(UserWarning, match="pallas"):
         dec = Decomp3D(g, make_mesh_1d(8), backend="pallas")
     assert dec.backend == "xla"
+
+
+def test_distributed_3d_pallas_falls_back_on_odd_shards():
+    # odd nx/px can never satisfy the slab-chunk alignment; must warn and
+    # fall back (a W-rounding loop over an odd residue would never exit)
+    g = Grid3D(24, 24, 24)
+    with pytest.warns(UserWarning, match="pallas"):
+        dec = Decomp3D(g, make_mesh_1d(8), backend="pallas")
+    assert dec.backend == "xla"

@@ -132,10 +132,7 @@ def run_distributed(args, cfg, state, istep) -> int:
     target_step = istep + args.steps
     while istep < target_step:
         n = min(args.frame_every, target_step - istep)
-        if istep % 2:  # resumed mid-pair (parity handling as serial path)
-            print("warning: odd resume step; parity follows pair schedule",
-                  file=sys.stderr)
-        blocked = run(blocked, n)
+        blocked = run(blocked, n, istep)  # istep0: parity continues
         istep += n
         state = dec.gather_state(blocked)
         m = compute_metrics_jit(cfg, state)
@@ -188,10 +185,12 @@ def run_3d(args) -> int:
     while done < args.steps:
         k = min(args.frame_every, args.steps - done)
         if dec is not None:
-            state = dec.simulate(state, k)
+            state = dec.simulate(state, k, istep0=done)
         else:
+            # istep0 keeps the reference's continuous istep % 3 sweep
+            # rotation across frame chunks
             state = simulate_3d(g, state, k, args.dt, args.jacobi,
-                                backend=backend)
+                                backend=backend, istep0=done)
         done += k
         F = np.asarray(state.F)
         print(f">>> Exporting step-{done:05d} result... "
@@ -379,12 +378,9 @@ def main(argv=None) -> int:
     t0 = time.time()
     while istep < target_step:
         n = min(args.frame_every, target_step - istep)
-        # keep the reference's odd-first parity: steps istep+1 .. istep+n
-        if istep % 2 == 0:
-            state = tv.simulate(cfg, state, n)
-        else:  # resumed mid-pair: run one even step, then the rest
-            state = tv.step(cfg, state, even_step=True)
-            state = tv.simulate(cfg, state, n - 1)
+        # istep0 keeps the reference's continuous odd-first parity across
+        # frame chunks (steps istep+1 .. istep+n)
+        state = tv.simulate(cfg, state, n, istep0=istep)
         istep += n
 
         mode = MODES[vis_idx % len(MODES)]

@@ -62,7 +62,9 @@ def _vmem_need(g: Grid3D, b: int, nloc: int | None = None) -> int:
     if nloc is not None:
         n0 = nloc + 2
     vol = n0 * n1 * n2 * 4
-    return vol + 36 * (b + 2) * n1 * n2 * 4
+    # +2 blocks vs the round-2 measurement: the rhs prefetch added a
+    # second B-plane buffer slot
+    return vol + 38 * (b + 2) * n1 * n2 * 4
 
 
 def _pick_chunk(nx: int, g: Grid3D | None = None,

@@ -343,19 +343,23 @@ class Decomp:
             use_pallas = False
         local = self._local_step_pallas if use_pallas else self._local_step
 
-        @partial(jax.jit, static_argnums=(1,))
-        def run(state: State, n_steps: int) -> State:
+        @partial(jax.jit, static_argnums=(1, 2))
+        def run(state: State, n_steps: int, istep0: int = 0) -> State:
+            # istep0: last global step already taken — the sweep parity
+            # continues across chunked calls like the reference's istep
+            even1 = (istep0 + 1) % 2 == 0
+
             def sharded_steps(F, u, v, p):
                 def pair(carry, _):
                     F, u, v, p = carry
-                    F, u, v, p = local(F, u, v, p, even_step=False)
-                    F, u, v, p = local(F, u, v, p, even_step=True)
+                    F, u, v, p = local(F, u, v, p, even_step=even1)
+                    F, u, v, p = local(F, u, v, p, even_step=not even1)
                     return (F, u, v, p), None
 
                 n_pairs, rem = divmod(n_steps, 2)
                 (F, u, v, p), _ = lax.scan(pair, (F, u, v, p), None, length=n_pairs)
                 if rem:
-                    F, u, v, p = local(F, u, v, p, even_step=False)
+                    F, u, v, p = local(F, u, v, p, even_step=even1)
                 return F, u, v, p
 
             F, u, v, p = jax.shard_map(
@@ -368,12 +372,16 @@ class Decomp:
             )(state.F, state.u, state.v, state.p)
             return State(F=F, u=u, v=v, p=p)
 
-        return run
+        # reduce istep0 to its parity so chunked drivers compile at most
+        # two programs per shape
+        return lambda state, n_steps, istep0=0: run(
+            state, n_steps, istep0 % 2)
 
-    def simulate(self, state: State, n_steps: int) -> State:
+    def simulate(self, state: State, n_steps: int,
+                 istep0: int = 0) -> State:
         """Convenience: scatter a global state, run, gather back."""
         if self._step is None:
             self._step = self.make_simulate()
         blocked = self.scatter_state(state)
-        out = self._step(blocked, n_steps)
+        out = self._step(blocked, n_steps, istep0)
         return self.gather_state(out)

@@ -36,9 +36,9 @@ from ..ops import clamp01, mix_properties
 from ..ops.fct3d import fct3d_sweep_x_windowed, fct3d_sweep_y, fct3d_sweep_z
 from ..ops.momentum3d import predict_velocity_3d, update_velocity_3d
 
-__all__ = ["Decomp3D"]
+from ..solver3d import _SWEEP_ORDER as _SWEEP_ORDER3
 
-_SWEEP_ORDER3 = {0: (0, 1, 2), 1: (1, 2, 0), 2: (2, 0, 1)}
+__all__ = ["Decomp3D"]
 
 
 from dataclasses import dataclass
@@ -93,11 +93,16 @@ class Decomp3D:
         self.backend = backend
         if backend == "pallas":
             W = n_jacobi + 12
-            while (self.nxl + 2 * W) % 8:
-                W += 1
+            # nxl + 2W must be a slab-chunk multiple; 2W only shifts the
+            # residue by even amounts, so odd nxl can never satisfy it
+            # (checked first: the rounding loop would not terminate)
+            ok = self.nxl % 2 == 0
+            if ok:
+                while (self.nxl + 2 * W) % 8:
+                    W += 1
             self.W = W
             self.nloc = self.nxl + 2 * W
-            ok = W <= self.nxl and self.nxl % 2 == 0
+            ok = ok and W <= self.nxl
             if ok:
                 from ..pallas_kernels.jacobi3d import _pick_chunk as _jpick
 
@@ -379,8 +384,12 @@ class Decomp3D:
         spec = P(self.ax)
         use_pallas = self.backend == "pallas"
 
-        @partial(jax.jit, static_argnums=(1,))
-        def run(state: State3D, n_steps: int) -> State3D:
+        @partial(jax.jit, static_argnums=(1, 2))
+        def run(state: State3D, n_steps: int, istep0: int = 0) -> State3D:
+            # istep0: last global step already taken — the istep % 3 sweep
+            # rotation continues across chunked calls like the reference
+            ph1 = (istep0 + 1) % 3
+
             def body(F, u, v, w, p):
                 if use_pallas:
                     # entry BC + exchange (first step's pre-sweep mirrors,
@@ -398,15 +407,15 @@ class Decomp3D:
 
                 def triple(carry, _):
                     s = carry
-                    for ph in (1, 2, 0):
-                        s = step(*s, ph)
+                    for k in range(3):
+                        s = step(*s, (ph1 + k) % 3)
                     return s, None
 
                 n_triples, rem = divmod(n_steps, 3)
                 carry, _ = lax.scan(triple, (F, u, v, w, p), None,
                                     length=n_triples)
                 for r in range(rem):
-                    carry = step(*carry, (r + 1) % 3)
+                    carry = step(*carry, (ph1 + r) % 3)
                 if use_pallas:
                     n1p, n2p = self.g.ny + 2, self.g.nz + 2
                     F, u, v, w, p = (a[:, :n1p, :n2p] for a in carry)
@@ -423,11 +432,15 @@ class Decomp3D:
             )(state.F, state.u, state.v, state.w, state.p)
             return State3D(F=F, u=u, v=v, w=w, p=p)
 
-        return run
+        # reduce istep0 to its phase residue so chunked drivers compile
+        # at most three programs per shape
+        return lambda state, n_steps, istep0=0: run(
+            state, n_steps, istep0 % 3)
 
-    def simulate(self, state: State3D, n_steps: int) -> State3D:
+    def simulate(self, state: State3D, n_steps: int,
+                 istep0: int = 0) -> State3D:
         if self._run is None:
             self._run = self.make_simulate()
         blocked = self.scatter_state(state)
-        out = self._run(blocked, n_steps)
+        out = self._run(blocked, n_steps, istep0)
         return self.gather_state(out)

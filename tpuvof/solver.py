@@ -191,23 +191,41 @@ def step_pair(cfg: SimConfig, state: State, lean: bool = False) -> State:
     return state
 
 
-@partial(jax.jit, static_argnums=(0, 2))
-def simulate(cfg: SimConfig, state: State, n_steps: int) -> State:
+def simulate(cfg: SimConfig, state: State, n_steps: int,
+             istep0: int = 0) -> State:
     """Advance n_steps with a scanned pair body (one compiled program).
 
     BCs are applied once at entry; the scanned steps then run lean (see
     `step`) — bit-identical to the reference pipeline, minus its redundant
-    mid-step ghost rewrites."""
+    mid-step ghost rewrites.
+
+    ``istep0``: global index of the last step already taken — chunked
+    callers (the CLI frame loop) MUST pass it so the sweep-order parity
+    continues across calls exactly like the reference's continuous istep
+    counter (2dvof.py:505-506, 312-318); restarting the x-then-y schedule
+    each chunk follows a (valid but) different trajectory when the chunk
+    length is odd. Only istep0's parity matters, so it is reduced mod 2
+    before the jitted core — chunked drivers compile at most two programs
+    per shape, not one per offset."""
+    return _simulate_impl(cfg, state, n_steps, istep0 % 2)
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def _simulate_impl(cfg: SimConfig, state: State, n_steps: int,
+                   istep0: int) -> State:
     u, v, F, p = apply_bc(state.u, state.v, state.F, state.p)
     state = State(F=F, u=u, v=v, p=p)
+    even1 = (istep0 + 1) % 2 == 0  # parity of the first step taken here
     n_pairs, rem = divmod(n_steps, 2)
 
     def body(s, _):
-        return step_pair(cfg, s, lean=True), None
+        s = step(cfg, s, even_step=even1, lean=True)
+        s = step(cfg, s, even_step=not even1, lean=True)
+        return s, None
 
     state, _ = jax.lax.scan(body, state, None, length=n_pairs)
     if rem:
-        state = step(cfg, state, even_step=False, lean=True)
+        state = step(cfg, state, even_step=even1, lean=True)
     return state
 
 

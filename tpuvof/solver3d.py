@@ -246,13 +246,30 @@ def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
     return State3D(F=F, u=u, v=v, w=w, p=p)
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6))
 def simulate_3d(g: Grid3D, state: State3D, n_steps: int,
                 dt: float = 4e-6, n_jacobi: int = 10,
-                fl: Fluid | None = None, backend: str = "xla") -> State3D:
+                fl: Fluid | None = None, backend: str = "xla",
+                istep0: int = 0) -> State3D:
     """Advance n_steps with the reference's 1-based phase schedule
     (first step phase 1, then 2, 0, 1, ...). The pallas backend pads the
-    state once (jk lane/sublane alignment) and scans the padded step."""
+    state once (jk lane/sublane alignment) and scans the padded step.
+
+    ``istep0``: global index of the last step already taken — chunked
+    callers (the CLI's frame loop) MUST pass it so the istep % 3 sweep
+    rotation continues across calls exactly like the reference's
+    continuous istep counter (3dvof.py:351-363); restarting the schedule
+    each chunk follows a (valid but) different trajectory. Reduced mod 3
+    before the jitted core, so chunked drivers compile at most three
+    programs per shape."""
+    return _simulate_3d_impl(g, state, n_steps, dt, n_jacobi, fl,
+                             backend, istep0 % 3)
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7))
+def _simulate_3d_impl(g: Grid3D, state: State3D, n_steps: int,
+                      dt: float, n_jacobi: int,
+                      fl: Fluid | None, backend: str,
+                      istep0: int) -> State3D:
     fl = fl or Fluid()
     use_pallas = backend == "pallas" and pallas3d_supported(g)
     if use_pallas:
@@ -272,16 +289,18 @@ def simulate_3d(g: Grid3D, state: State3D, n_steps: int,
         stepper = lambda s, ph: step_3d(  # noqa: E731
             g, fl, dt, n_jacobi, s, ph, backend)
 
+    ph1 = (istep0 + 1) % 3  # phase of the first step taken here
+
     def triple(s, _):
-        s = stepper(s, 1)
-        s = stepper(s, 2)
-        s = stepper(s, 0)
+        s = stepper(s, ph1)
+        s = stepper(s, (ph1 + 1) % 3)
+        s = stepper(s, (ph1 + 2) % 3)
         return s, None
 
     n_triples, rem = divmod(n_steps, 3)
     state, _ = jax.lax.scan(triple, state, None, length=n_triples)
     for r in range(rem):
-        state = stepper(state, (r + 1) % 3)
+        state = stepper(state, (ph1 + r) % 3)
     if use_pallas:
         u, v, w, F, p = _apply_bc_3d_win(
             g, state.u, state.v, state.w, state.F, state.p)
