@@ -46,17 +46,23 @@ pad = lambda a: jnp.pad(a, ((0, 0), (0, p1), (0, p2)))  # noqa: E731
 sp = tuple(pad(a) for a in s)  # F,u,v,w,p
 
 
-def make_step(n_jac=10, do_bc=True, do_sweeps=True, do_predict=True):
+def make_step(n_jac=10, do_bc=False, do_sweeps=True, do_predict=True,
+              do_correct=True):
+    """Mirrors solver3d._step_3d_pallas_padded (in-kernel BCs, mirror_out
+    on the last sweep); do_bc adds the RETIRED whole-volume XLA pass back
+    for comparison."""
     def step(st, phase):
         F, u, v, w, p = st
         if do_predict:
             us, vs, ws, rhs = pallas_predict3d_rhs(g, fl, dt, u, v, w, F)
             p = pallas_jacobi_3d(g, n_jac, p, rhs)
-            u, v, w = pallas_correct3d(g, fl, dt, us, vs, ws, p, F)
+            if do_correct:
+                u, v, w = pallas_correct3d(g, fl, dt, us, vs, ws, p, F)
         if do_sweeps:
             vels = (u, v, w)
-            for ax in _SWEEP_ORDER[phase]:
-                F = pallas_fct3d_sweep(g, dt, F, vels[ax], ax)
+            for idx, ax in enumerate(_SWEEP_ORDER[phase]):
+                F = pallas_fct3d_sweep(g, dt, F, vels[ax], ax,
+                                       mirror_out=(idx == 2))
         if do_bc:
             u, v, w, F, p = _apply_bc_3d_win(g, u, v, w, F, p)
         return State3D(F=F, u=u, v=v, w=w, p=p)
@@ -93,15 +99,17 @@ def t(name, fn):
     return ms
 
 
-full = t("full step", make_step())
-nobc = t("no BC", make_step(do_bc=False))
+full = t("full step (production)", make_step())
+withbc = t("with retired XLA BC", make_step(do_bc=True))
 jac1 = t("jacobi n=1", make_step(n_jac=1))
 nosweep = t("no sweeps", make_step(do_sweeps=False))
-nopredict = t("sweeps+BC only", make_step(do_predict=False))
+nocorr = t("no correct", make_step(do_correct=False, do_sweeps=False))
+nopredict = t("sweeps only", make_step(do_predict=False))
 full2 = t("full step (re-run)", make_step())
 
-print(f"\nBC cost        : {full - nobc:6.3f} ms", flush=True)
+print(f"\nretired BC would cost: {withbc - full:6.3f} ms", flush=True)
 print(f"9 jacobi iters : {full - jac1:6.3f} ms -> {(full-jac1)/9*10:6.3f} ms for 10", flush=True)
 print(f"3 sweeps       : {full - nosweep:6.3f} ms", flush=True)
+print(f"correct        : {nosweep - nocorr:6.3f} ms", flush=True)
 print(f"predict+jac+cor: {full - nopredict:6.3f} ms", flush=True)
 print(f"env drift check: full {full:.3f} vs re-run {full2:.3f}", flush=True)
