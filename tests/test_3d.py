@@ -165,3 +165,27 @@ def test_pallas_3d_step_matches_xla(n):
             np.testing.assert_allclose(
                 np.asarray(getattr(b, name)), np.asarray(getattr(a, name)),
                 atol=1e-11 if name != "p" else 1e-7, err_msg=f"{name} ph{phase}")
+
+
+@pytest.mark.parametrize("seed,n", [(0, 14), (1, 18), (2, 22)])
+def test_pallas_3d_step_fuzz(seed, n):
+    """Randomized-state fuzz of the full slab pipeline against the XLA
+    step, f64 interpret: varied non-multiple-of-8 grid sizes exercise the
+    chunk-count edge cases (nc = 7, 9, 11), all three phases, and the
+    in-kernel BC reconstruction on states with no structure to hide
+    behind."""
+    from tpuvof.solver3d import _step_3d_pallas
+
+    rng = np.random.default_rng(100 + seed)
+    g = Grid3D(n, n, n)
+    state = _random_3d_state(g, rng)
+    fl = Fluid()
+    for phase in (0, 1, 2):
+        a = step_3d(g, fl, 4e-6, 10, state, phase)
+        b = _step_3d_pallas(g, fl, 4e-6, 10, state, phase)
+        for name in ("F", "u", "v", "w", "p"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(b, name)), np.asarray(getattr(a, name)),
+                atol=1e-11 if name != "p" else 1e-7,
+                err_msg=f"{name} ph{phase} seed{seed} n{n}")
+        state = a  # chain: next phase fuzzes from an evolved state
