@@ -66,6 +66,10 @@ def main():
             # into the XLA number (VERDICT r1 #6)
             print(f"bench: backend {backend!r} FAILED:", file=sys.stderr)
             traceback.print_exc()
+    if not results:
+        print("bench: EVERY backend failed; see tracebacks above",
+              file=sys.stderr)
+        return 1
     backend = min(results, key=results.get)
     best = results[backend]
     cups = n * n * n_steps / best
@@ -101,4 +105,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main() or 0)

@@ -26,9 +26,15 @@ t0 = time.perf_counter()
 out = simulate_3d(g, s3, 100, backend="pallas")
 np.asarray(out.F[:1,:1,:8])
 print(f"3-D 200^3 x100 pallas: {time.perf_counter()-t0:.2f}s (incl compile)", flush=True)
-t0 = time.perf_counter()
-# istep0 continues the reference's istep % 3 rotation across the chunks
+# istep0 continues the reference's istep % 3 rotation across chunks; each
+# residue (istep0 % 3) is its own compiled program, so warm residues 1
+# and 2 before timing a residue-0 chunk (a compile inside the timed
+# region once read as a 50x "regression")
 out = simulate_3d(g, out, 100, backend="pallas", istep0=100)
+out = simulate_3d(g, out, 100, backend="pallas", istep0=200)
+np.asarray(out.F[:1,:1,:8])
+t0 = time.perf_counter()
+out = simulate_3d(g, out, 100, backend="pallas", istep0=300)
 np.asarray(out.F[:1,:1,:8])
 dt = time.perf_counter()-t0
 F3 = np.asarray(out.F)

@@ -130,6 +130,7 @@ def run_distributed(args, cfg, state, istep) -> int:
           f"({[d.platform for d in devs[:1]][0]} devices); compiling...")
     t0 = time.time()
     target_step = istep + args.steps
+    frame_idx = 0
     while istep < target_step:
         n = min(args.frame_every, target_step - istep)
         blocked = run(blocked, n, istep)  # istep0: parity continues
@@ -141,9 +142,10 @@ def run_distributed(args, cfg, state, istep) -> int:
             print(">>> aborting: non-finite fields", file=sys.stderr)
             return 1
         if not args.no_frames:
-            count = istep // args.frame_every - 1
-            save_contour_png(os.path.join(args.outdir, f"{count:06d}-f.png"),
-                             np.asarray(state.F), cfg.grid.Lx, cfg.grid.Ly)
+            save_contour_png(
+                os.path.join(args.outdir, f"{frame_idx:06d}-f.png"),
+                np.asarray(state.F), cfg.grid.Lx, cfg.grid.Ly)
+            frame_idx += 1
     wall = time.time() - t0
     cups = cfg.grid.nx * cfg.grid.ny * args.steps / wall
     print(f">>> {args.steps} steps in {wall:.2f}s on {px}x{py} mesh "
@@ -168,7 +170,12 @@ def run_3d(args) -> int:
         from jax.sharding import Mesh
         from .parallel import Decomp3D
 
-        px = int(args.mesh.split(",")[0])
+        parts = [int(x) for x in args.mesh.split(",")]
+        px = parts[0]
+        if len(parts) > 1 and any(p != 1 for p in parts[1:]):
+            print("error: the 3-D solver decomposes along x only; use "
+                  "--mesh PX (or PX,1)", file=sys.stderr)
+            return 2
         devs = jax.devices()
         if px > len(devs):
             print(f"error: mesh {px} needs {px} devices, have {len(devs)}",
@@ -369,6 +376,7 @@ def main(argv=None) -> int:
     print(">>> Compiling the step program...")
 
     vis_idx = MODES.index(args.view)
+    frame_idx = 0
     target_step = istep + args.steps
     profile_cm = None
     if args.profile_dir:
@@ -391,7 +399,8 @@ def main(argv=None) -> int:
             return 1
 
         if not args.no_frames:
-            count = istep // args.frame_every - 1
+            count = frame_idx
+            frame_idx += 1
             if mode == "vectors":
                 rgb = render_frame(cfg, state, "vof")
                 V = interp_velocity(cfg, state)

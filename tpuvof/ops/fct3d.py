@@ -100,41 +100,105 @@ def fct3d_sweep_z(g: Grid3D, dt, F, w):
     return jnp.transpose(out, (1, 2, 0))
 
 
-def fct3d_sweep_x_windowed(g: Grid3D, dt, F_ext, u_ext, gi0):
-    """The x-sweep on an i-extended block in roll+mask form, for the
-    x-decomposed solver (parallel/dist3d.py): ``F_ext``/``u_ext`` carry the
-    shard's planes plus a 3-plane dependency halo; plane l holds global
-    i-index ``gi0 + l`` (traced or static). Positions within stencil reach
-    of the block's i-edges are junk — callers keep only fully-haloed
-    planes. Numerically identical to fct3d_sweep_x on the kept planes
-    (global-index masks reproduce the zero-ghost intermediate conventions;
-    pinned by tests/test_parallel_3d.py)."""
+def _axis_scales(g: Grid3D, axis: int):
+    """The reference's literal (non-uniform) scale factors per sweep axis
+    — (vol, dv_area, flux_scale, q_scale, final_div); 3dvof.py:438 keeps
+    the 2-D dy/(dx*dy) flux scale in the y-sweep."""
+    vol = g.dx * g.dy * g.dz
+    if axis == 0:
+        return (vol, g.dy * g.dz, g.dy * g.dz / vol, g.dx, g.dy)
+    if axis == 1:
+        return (vol, g.dx * g.dz, g.dy / (g.dx * g.dy), g.dx, g.dy)
+    return (vol, g.dx * g.dy, g.dy * g.dx / vol, g.dz, g.dz)
+
+
+def _sh3(x, di=0, dj=0, dk=0):
+    """x[i+di, j+dj, k+dk] with wrap-around; callers mask the junk."""
+    if di:
+        x = jnp.roll(x, -di, axis=0)
+    if dj:
+        x = jnp.roll(x, -dj, axis=1)
+    if dk:
+        x = jnp.roll(x, -dk, axis=2)
+    return x
+
+
+def sweep_x_masked(g: Grid3D, dt, F, vel, gi0):
+    """One x-direction Rudman/Zalesak sweep (3dvof.py:366-541) in the
+    roll+mask form shared by the Pallas slab kernel
+    (pallas_kernels/step3d.py) and the windowed distributed sweep: plane l
+    of the block holds global i-index gi0 + l (traced or static), all
+    masks are global, and positions within 3 planes of a block edge are
+    junk unless the edge is the true array edge. Non-interior positions
+    carry the input F through. THE single source of the x-limiter chain in
+    masked form (the serial XLA sweeps use the equivalent transpose/axis0
+    statement of the same formulas, _sweep3d_axis0)."""
     import jax
 
-    vol = g.dx * g.dy * g.dz
-    dv_area = g.dy * g.dz
-    flux_scale = g.dy * g.dz / vol
-    q_scale = g.dx
-    final_div = g.dy
-
-    shape = F_ext.shape
+    vol, dv_area, flux_scale, q_scale, final_div = _axis_scales(g, 0)
+    shape = F.shape
     gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + gi0
     j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     k = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
     o_int = (j >= 1) & (j <= g.ny) & (k >= 1) & (k <= g.nz)
 
-    def sh(x, d):
-        return jnp.roll(x, -d, axis=0)
-
-    F = F_ext
-    vel = u_ext
-    F_up = sh(F, -1)
+    F_up = _sh3(F, -1, 0, 0)
     fL = vel * dt * jnp.where(vel >= 0, F_up, F)
     fH = vel * dt * jnp.where(vel <= 0, F_up, F)
     a = jnp.where((gi >= 1) & o_int, fH - fL, 0.0)
+    dv = vol - dt * dv_area * (_sh3(vel, 1, 0, 0) - vel)
+    ftd = clamp01((F + (fL - _sh3(fL, 1, 0, 0)) * flux_scale) * vol / dv)
+    int_m = (gi >= 1) & (gi <= g.nx) & o_int
+    Ftd = jnp.where(int_m, ftd, 0.0)
+    fmax = jnp.maximum(Ftd, jnp.maximum(_sh3(Ftd, -1, 0, 0),
+                                        _sh3(Ftd, 1, 0, 0)))
+    fmin = jnp.minimum(Ftd, jnp.minimum(_sh3(Ftd, -1, 0, 0),
+                                        _sh3(Ftd, 1, 0, 0)))
+    a_hi = _sh3(a, 1, 0, 0)
+    pp = jnp.maximum(0.0, a) - jnp.minimum(0.0, a_hi)
+    qp = (fmax - Ftd) * q_scale
+    rp = jnp.where(int_m & (pp > 0),
+                   jnp.minimum(1.0, qp / jnp.where(pp > 0, pp, 1.0)), 0.0)
+    pm = jnp.maximum(0.0, a_hi) - jnp.minimum(0.0, a)
+    qm = (Ftd - fmin) * q_scale
+    rm = jnp.where(int_m & (pm > 0),
+                   jnp.minimum(1.0, qm / jnp.where(pm > 0, pm, 1.0)), 0.0)
+    cfct = jnp.where(
+        (gi >= 1) & o_int,
+        jnp.where(a >= 0,
+                  jnp.minimum(rp, _sh3(rm, -1, 0, 0)),
+                  jnp.minimum(_sh3(rp, -1, 0, 0), rm)),
+        0.0,
+    )
+    corr = (_sh3(a, 1, 0, 0) * _sh3(cfct, 1, 0, 0) - a * cfct) / final_div
+    return jnp.where(int_m, clamp01(Ftd - corr * vol / dv), F)
+
+
+def sweep_inplane_masked(g: Grid3D, dt, F, vel, axis: int):
+    """One y- (axis=1) or z- (axis=2) sweep in roll+mask form, row-local:
+    valid for any subset of interior i-planes; non-interior positions
+    carry F through. Shared by the Pallas slab kernel — the in-plane twin
+    of sweep_x_masked."""
+    import jax
+
+    vol, dv_area, flux_scale, q_scale, final_div = _axis_scales(g, axis)
+    shape = F.shape
+    n_sweep = g.ny if axis == 1 else g.nz
+    o_hi = g.nz if axis == 1 else g.ny
+    idx = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+    io = jax.lax.broadcasted_iota(jnp.int32, shape, 2 if axis == 1 else 1)
+    o_int = (io >= 1) & (io <= o_hi)
+
+    def sh(x, d):
+        return _sh3(x, 0, d if axis == 1 else 0, d if axis == 2 else 0)
+
+    F_up = sh(F, -1)
+    fL = vel * dt * jnp.where(vel >= 0, F_up, F)
+    fH = vel * dt * jnp.where(vel <= 0, F_up, F)
+    a = jnp.where((idx >= 1) & o_int, fH - fL, 0.0)
     dv = vol - dt * dv_area * (sh(vel, 1) - vel)
     ftd = clamp01((F + (fL - sh(fL, 1)) * flux_scale) * vol / dv)
-    int_m = (gi >= 1) & (gi <= g.nx) & o_int
+    int_m = (idx >= 1) & (idx <= n_sweep) & o_int
     Ftd = jnp.where(int_m, ftd, 0.0)
     fmax = jnp.maximum(Ftd, jnp.maximum(sh(Ftd, -1), sh(Ftd, 1)))
     fmin = jnp.minimum(Ftd, jnp.minimum(sh(Ftd, -1), sh(Ftd, 1)))
@@ -147,16 +211,23 @@ def fct3d_sweep_x_windowed(g: Grid3D, dt, F_ext, u_ext, gi0):
     qm = (Ftd - fmin) * q_scale
     rm = jnp.where(int_m & (pm > 0),
                    jnp.minimum(1.0, qm / jnp.where(pm > 0, pm, 1.0)), 0.0)
-    c = jnp.where(
-        (gi >= 1) & o_int,
+    cfct = jnp.where(
+        (idx >= 1) & o_int,
         jnp.where(a >= 0,
                   jnp.minimum(rp, sh(rm, -1)),
                   jnp.minimum(sh(rp, -1), rm)),
         0.0,
     )
-    corr = (sh(a, 1) * sh(c, 1) - a * c) / final_div
-    f_new = clamp01(Ftd - corr * vol / dv)
-    return jnp.where(int_m, f_new, F)
+    corr = (sh(a, 1) * sh(cfct, 1) - a * cfct) / final_div
+    return jnp.where(int_m, clamp01(Ftd - corr * vol / dv), F)
+
+
+def fct3d_sweep_x_windowed(g: Grid3D, dt, F_ext, u_ext, gi0):
+    """The x-sweep on an i-extended block, for the x-decomposed solver
+    (parallel/dist3d.py): ``F_ext``/``u_ext`` carry the shard's planes plus
+    a 3-plane dependency halo; plane l holds global i-index ``gi0 + l``.
+    Thin alias of sweep_x_masked (the shared masked limiter body)."""
+    return sweep_x_masked(g, dt, F_ext, u_ext, gi0)
 
 
 def rudman_advect_3d(g: Grid3D, dt, F, u, v, w, phase: int):

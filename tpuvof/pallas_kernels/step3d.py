@@ -70,6 +70,7 @@ from ..config import Fluid
 from ..grid import Grid3D
 from ..ops import mix_properties
 from ..ops.common import clamp01
+from ..ops.fct3d import sweep_inplane_masked, sweep_x_masked
 
 __all__ = [
     "step3d_slab_supported",
@@ -548,105 +549,6 @@ def pallas_correct3d(g: Grid3D, fl: Fluid, dt, u_star, v_star, w_star, p, F,
 # ----------------------------------------------------------------------
 
 
-def _sweep_x_ext(g: Grid3D, dt, F, vel, gi0, sc):
-    """One x-direction Rudman/Zalesak sweep (3dvof.py:366-541) over an ext
-    block whose plane l has global i-index gi0 + l. Rows within 3 planes of
-    a block edge are junk unless the edge is the true array edge (the masks
-    use global gi); non-interior positions carry the input F through."""
-    vol, dv_area, flux_scale, q_scale, final_div = sc
-    shape = F.shape
-    gi = _iota3(shape, 0) + gi0
-    j = _iota3(shape, 1)
-    k = _iota3(shape, 2)
-    o_int = (j >= 1) & (j <= g.ny) & (k >= 1) & (k <= g.nz)
-
-    F_up = _sh3(F, -1, 0, 0)
-    fL = vel * dt * jnp.where(vel >= 0, F_up, F)
-    fH = vel * dt * jnp.where(vel <= 0, F_up, F)
-    a = jnp.where((gi >= 1) & o_int, fH - fL, 0.0)
-    dv = vol - dt * dv_area * (_sh3(vel, 1, 0, 0) - vel)
-    ftd = clamp01((F + (fL - _sh3(fL, 1, 0, 0)) * flux_scale) * vol / dv)
-    int_m = (gi >= 1) & (gi <= g.nx) & o_int
-    Ftd = jnp.where(int_m, ftd, 0.0)
-    fmax = jnp.maximum(Ftd, jnp.maximum(_sh3(Ftd, -1, 0, 0),
-                                        _sh3(Ftd, 1, 0, 0)))
-    fmin = jnp.minimum(Ftd, jnp.minimum(_sh3(Ftd, -1, 0, 0),
-                                        _sh3(Ftd, 1, 0, 0)))
-    a_hi = _sh3(a, 1, 0, 0)
-    pp = jnp.maximum(0.0, a) - jnp.minimum(0.0, a_hi)
-    qp = (fmax - Ftd) * q_scale
-    rp = jnp.where(int_m & (pp > 0),
-                   jnp.minimum(1.0, qp / jnp.where(pp > 0, pp, 1.0)), 0.0)
-    pm = jnp.maximum(0.0, a_hi) - jnp.minimum(0.0, a)
-    qm = (Ftd - fmin) * q_scale
-    rm = jnp.where(int_m & (pm > 0),
-                   jnp.minimum(1.0, qm / jnp.where(pm > 0, pm, 1.0)), 0.0)
-    cfct = jnp.where(
-        (gi >= 1) & o_int,
-        jnp.where(a >= 0,
-                  jnp.minimum(rp, _sh3(rm, -1, 0, 0)),
-                  jnp.minimum(_sh3(rp, -1, 0, 0), rm)),
-        0.0,
-    )
-    corr = (_sh3(a, 1, 0, 0) * _sh3(cfct, 1, 0, 0) - a * cfct) / final_div
-    return jnp.where(int_m, clamp01(Ftd - corr * vol / dv), F)
-
-
-def _sweep_inplane(g: Grid3D, dt, F, vel, axis: int, sc):
-    """One y- (axis=1) or z- (axis=2) sweep. Row-local: valid for any
-    subset of interior i-planes; non-interior positions carry F through."""
-    vol, dv_area, flux_scale, q_scale, final_div = sc
-    shape = F.shape
-    n_sweep = g.ny if axis == 1 else g.nz
-    o_hi = g.nz if axis == 1 else g.ny
-    idx = _iota3(shape, axis)
-    io = _iota3(shape, 2 if axis == 1 else 1)
-    o_int = (io >= 1) & (io <= o_hi)
-
-    def sh(x, d):
-        return _sh3(x, 0, d if axis == 1 else 0, d if axis == 2 else 0)
-
-    F_up = sh(F, -1)
-    fL = vel * dt * jnp.where(vel >= 0, F_up, F)
-    fH = vel * dt * jnp.where(vel <= 0, F_up, F)
-    a = jnp.where((idx >= 1) & o_int, fH - fL, 0.0)
-    dv = vol - dt * dv_area * (sh(vel, 1) - vel)
-    ftd = clamp01((F + (fL - sh(fL, 1)) * flux_scale) * vol / dv)
-    int_m = (idx >= 1) & (idx <= n_sweep) & o_int
-    Ftd = jnp.where(int_m, ftd, 0.0)
-    fmax = jnp.maximum(Ftd, jnp.maximum(sh(Ftd, -1), sh(Ftd, 1)))
-    fmin = jnp.minimum(Ftd, jnp.minimum(sh(Ftd, -1), sh(Ftd, 1)))
-    a_hi = sh(a, 1)
-    pp = jnp.maximum(0.0, a) - jnp.minimum(0.0, a_hi)
-    qp = (fmax - Ftd) * q_scale
-    rp = jnp.where(int_m & (pp > 0),
-                   jnp.minimum(1.0, qp / jnp.where(pp > 0, pp, 1.0)), 0.0)
-    pm = jnp.maximum(0.0, a_hi) - jnp.minimum(0.0, a)
-    qm = (Ftd - fmin) * q_scale
-    rm = jnp.where(int_m & (pm > 0),
-                   jnp.minimum(1.0, qm / jnp.where(pm > 0, pm, 1.0)), 0.0)
-    cfct = jnp.where(
-        (idx >= 1) & o_int,
-        jnp.where(a >= 0,
-                  jnp.minimum(rp, sh(rm, -1)),
-                  jnp.minimum(sh(rp, -1), rm)),
-        0.0,
-    )
-    corr = (sh(a, 1) * sh(cfct, 1) - a * cfct) / final_div
-    return jnp.where(int_m, clamp01(Ftd - corr * vol / dv), F)
-
-
-def _scales(g: Grid3D, axis: int):
-    """The reference's literal (non-uniform) scale factors per sweep axis
-    (3dvof.py:438 keeps the 2-D dy/(dx*dy) flux scale in the y-sweep)."""
-    vol = g.dx * g.dy * g.dz
-    if axis == 0:
-        return (vol, g.dy * g.dz, g.dy * g.dz / vol, g.dx, g.dy)
-    if axis == 1:
-        return (vol, g.dx * g.dz, g.dy / (g.dx * g.dy), g.dx, g.dy)
-    return (vol, g.dx * g.dy, g.dy * g.dx / vol, g.dz, g.dz)
-
-
 def _ghost_planes_out(nloc, F_hbm, out_hbm, gplane, sems, osems, mirror_out):
     """i-ghost planes of a sweep's output. Pass-through sweeps carry the
     input F's (stale-mirror) ghost planes, exactly like the XLA path's
@@ -688,7 +590,6 @@ def _fct_x_kernel(F_hbm, u_hbm, gib, out_hbm, Fb, ubuf, ob, gplane,
     n0 = nloc + 2
     nc = nloc // B
     E = B + 6
-    sc = _scales(g, 0)
 
     def ext_start(c):
         return jnp.where(c == 0, 0,
@@ -723,7 +624,7 @@ def _fct_x_kernel(F_hbm, u_hbm, gib, out_hbm, Fb, ubuf, ob, gplane,
 
         F = Fb[pl.ds(slot * E, E)]
         vel = ubuf[pl.ds(slot * E, E)]
-        f_new = _sweep_x_ext(g, dt, F, vel, ext_start(c) + gi_base, sc)
+        f_new = sweep_x_masked(g, dt, F, vel, ext_start(c) + gi_base)
         if mirror_out:
             # last sweep of the step: write fresh j/k ghost mirrors of the
             # swept F (stands in for the step's final BC on F; the sweeps
@@ -763,7 +664,6 @@ def _fct_yz_kernel(F_hbm, vel_hbm, out_hbm, Fb, vbuf, ob, gplane,
     need no i-halo at all. Double-buffered."""
     n0 = nloc + 2
     nc = nloc // B
-    sc = _scales(g, axis)
 
     def in_dma(slot, c, i):
         h, b = ((F_hbm, Fb), (vel_hbm, vbuf))[i]
@@ -792,8 +692,8 @@ def _fct_yz_kernel(F_hbm, vel_hbm, out_hbm, Fb, vbuf, ob, gplane,
         for i in range(2):
             in_dma(slot, c, i).wait()
 
-        f_new = _sweep_inplane(g, dt, Fb[pl.ds(slot * B, B)],
-                               vbuf[pl.ds(slot * B, B)], axis, sc)
+        f_new = sweep_inplane_masked(g, dt, Fb[pl.ds(slot * B, B)],
+                                     vbuf[pl.ds(slot * B, B)], axis)
         if mirror_out:
             f_new = _mirror_jk(g, f_new)
 

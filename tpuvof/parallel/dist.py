@@ -336,10 +336,20 @@ class Decomp:
         if use_pallas and not self.pallas_shard_supported():
             import warnings
 
+            from ..pallas_kernels.step_kernels import step_halo_width
+
+            W = step_halo_width(self.cfg)
+            if (self.px > 1 and self.nxl < W) or \
+                    (self.py > 1 and self.nyl < W):
+                why = (f"local blocks {self.nxl}x{self.nyl} are thinner "
+                       f"than the W={W} dependency halo (each halo must "
+                       "come from ONE neighbor)")
+            else:
+                why = (f"the W={W}-extended block exceeds the VMEM "
+                       f"envelope for local blocks {self.nxl}x{self.nyl}")
             warnings.warn(
-                "per-shard windowed kernel exceeds the VMEM envelope for "
-                f"local blocks {self.nxl}x{self.nyl}; using the XLA "
-                "per-shard step")
+                f"per-shard windowed kernel unavailable: {why}; using the "
+                "XLA per-shard step")
             use_pallas = False
         local = self._local_step_pallas if use_pallas else self._local_step
 
