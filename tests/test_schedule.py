@@ -56,3 +56,21 @@ def test_distributed_istep0_continues_schedule():
         np.testing.assert_allclose(
             np.asarray(getattr(got, name))[1:-1],
             np.asarray(getattr(want, name))[1:-1], atol=1e-13, err_msg=name)
+
+
+def test_distributed_2d_istep0_continues_schedule():
+    import jax
+    from jax.sharding import Mesh
+    from tpuvof.parallel import Decomp
+
+    cfg = tv.SimConfig(grid=tv.Grid2D(16, 16))
+    s0 = tv.init_state(cfg, ic=1)
+    s0 = tv.State(*(jnp.asarray(np.asarray(a), jnp.float64) for a in s0))
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2, 1), ("mx", "my"))
+    dec = Decomp(cfg, mesh)
+    want = dec.simulate(s0, 5)
+    got = dec.simulate(dec.simulate(s0, 2), 3, istep0=2)
+    for name in ("F", "u", "v"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name))[1:-1],
+            np.asarray(getattr(want, name))[1:-1], atol=1e-13, err_msg=name)

@@ -124,16 +124,22 @@ class Decomp:
                 blk = b[ci * H : (ci + 1) * H, cj * W : (cj + 1) * W]
                 out[ci * self.nxl + 1 : ci * self.nxl + 1 + self.nxl,
                     cj * self.nyl + 1 : cj * self.nyl + 1 + self.nyl] = blk[1:-1, 1:-1]
-        # rebuild the physical ghost ring (mirror; v/u walls not needed here)
-        out[:, 0], out[:, -1] = out[:, 1], out[:, -2]
-        out[0, :], out[-1, :] = out[1, :], out[-2, :]
         return out
 
     def scatter_state(self, state: State) -> State:
         return State(*(self.scatter_field(a) for a in state))
 
     def gather_state(self, state: State) -> State:
-        return State(*(jnp.asarray(self.gather_field(a)) for a in state))
+        """Reassemble the global state and rebuild its ghost ring with the
+        REAL boundary conditions — a blanket mirror put nonzero values on
+        the wall faces set_BC zeroes (u's x-ghost row, v's y-ghost column),
+        which made gathered states differ from the serial end state at
+        the ghosts and chained simulate calls drift."""
+        from ..ops import apply_bc
+
+        F, u, v, p = (jnp.asarray(self.gather_field(a)) for a in state)
+        u, v, F, p = apply_bc(u, v, F, p)
+        return State(F=F, u=u, v=v, p=p)
 
     # ------------------------------------------------------------------
     # distributed BC: masked serial formulas + halo exchange

@@ -373,11 +373,16 @@ class Decomp3D:
             for c in range(self.px):
                 out[c * self.nxl + 1: (c + 1) * self.nxl + 1] = \
                     b[c * H + 1: (c + 1) * H - 1]
-            out[0] = out[1]
-            out[-1] = out[-2]
             return jnp.asarray(out)
 
-        return State3D(*(gather(a) for a in state))
+        from ..ops import apply_bc_3d
+
+        # rebuild ghosts with the REAL BCs (a blanket x-mirror put nonzero
+        # values on u's wall ghost plane, which set_BC zeroes; cf. the 2-D
+        # gather_state fix)
+        F, u, v, w, p = (gather(a) for a in state)
+        u, v, w, F, p = apply_bc_3d(u, v, w, F, p)
+        return State3D(F=F, u=u, v=v, w=w, p=p)
 
     # ---- public API ----
     def make_simulate(self):
