@@ -309,7 +309,7 @@ def run_advection(args) -> int:
     done = 0
     while done < n_steps:
         n = min(chunk, n_steps - done)
-        F = models.simulate_advection(case, F, u, v, n)
+        F = models.simulate_advection(case, F, u, v, n, istep0=done)
         done += n
         Fh = np.asarray(F)
         print(f">>> step {done}: mass={Fh[1:-1,1:-1].sum():.3f} "

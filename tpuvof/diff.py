@@ -183,7 +183,10 @@ def loss_and_grad(cfg: SimConfig, F0, Ftarget, n_steps: int, remat: bool = True)
 def apply_grad(F0, grad, lr=0.02, grad_gate: float = 5.0, interior_only: bool = True):
     """Gated SGD + clamp (diff_vof.py:477-482): update only where
     |grad| < gate, clamp updated entries to [0, 1]."""
-    ok = jnp.abs(grad) < grad_gate if grad_gate else jnp.ones_like(grad, bool)
+    # gate=None disables gating; gate=0.0 means the literal |g| < 0
+    # (update nothing) — a falsy test here silently inverted that
+    ok = (jnp.abs(grad) < grad_gate if grad_gate is not None
+          else jnp.ones_like(grad, bool))
     new = jnp.clip(F0 - lr * grad, 0.0, 1.0)
     upd = jnp.where(ok, new, F0)
     if interior_only:

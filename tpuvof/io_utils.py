@@ -36,10 +36,7 @@ def save_side_by_side_png(path: str, F_current, F_target):
     """The in-optimization current-vs-target buffer (diff_vof.py:448-454,
     526-554: get_field_to_buf stacks the evolving F beside Ftarget in one
     window each epoch)."""
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    plt = _plt()
 
     fig, axes = plt.subplots(1, 2, figsize=(10, 5))
     for ax, (title, field) in zip(
@@ -57,10 +54,7 @@ def save_grad_png(path: str, grad):
     """Gradient-field rendering (test/diff_fct.py:370-375: F.grad scaled
     into a display buffer beside the optimization view); diverging colormap
     centered on zero so sign structure is visible."""
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    plt = _plt()
 
     g = np.asarray(grad)
     lim = np.abs(g).max() or 1.0
@@ -71,12 +65,26 @@ def save_grad_png(path: str, grad):
     plt.close()
 
 
-def save_frame_png(path: str, rgb, arrows=None):
-    """Write an RGB frame (optionally with the arrow overlay) to a PNG."""
+def _plt():
+    """pyplot for file output WITHOUT globally switching the backend:
+    matplotlib.use('Agg') after pyplot exists closes every open figure,
+    which killed a live viewer/paint window whenever a frame was saved.
+    savefig renders through Agg regardless of the GUI backend, so only
+    force Agg when matplotlib is not yet loaded (headless safety)."""
+    import sys
+
     import matplotlib
 
-    matplotlib.use("Agg")
+    if "matplotlib.pyplot" not in sys.modules:
+        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+
+    return plt
+
+
+def save_frame_png(path: str, rgb, arrows=None):
+    """Write an RGB frame (optionally with the arrow overlay) to a PNG."""
+    plt = _plt()
 
     rgb = np.asarray(rgb)
     # frame arrays are (x, y); images are (row=y downward, col=x)
@@ -87,7 +95,11 @@ def save_frame_png(path: str, rgb, arrows=None):
     h, w = img.shape[:2]
     fig = plt.figure(figsize=(w / 100, h / 100), dpi=100)
     ax = fig.add_axes([0, 0, 1, 1])
-    ax.imshow(np.clip(img, 0, 1), extent=[0, 1, 0, 1], origin="lower")
+    # the arrows use y-up coordinates, so draw the y-up (UNflipped) rows
+    # with origin='lower' — flipping twice mirrored the background against
+    # the velocity overlay
+    ax.imshow(np.clip(img[::-1], 0, 1), extent=[0, 1, 0, 1],
+              origin="lower")
     begin, incre = arrows
     ax.quiver(
         begin[:, 0], begin[:, 1], incre[:, 0], incre[:, 1],
@@ -103,10 +115,7 @@ def save_frame_png(path: str, rgb, arrows=None):
 def save_contour_png(path: str, F, Lx: float, Ly: float):
     """The reference's -s figure: plt.contourf(F.T, cmap=Blues), figure size
     (5, Ly/Lx*5), axes off (2dvof.py:563-571)."""
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    plt = _plt()
 
     Fnp = np.asarray(F)
     fx, fy = 5, Ly / Lx * 5

@@ -38,14 +38,16 @@ def live_loop(cfg: SimConfig, state: State, n_steps: int,
     import matplotlib
     import matplotlib.pyplot as plt
 
-    if matplotlib.get_backend().lower() == "agg":
+    noninteractive = {b.lower() for b in matplotlib.rcsetup.non_interactive_bk}
+    if matplotlib.get_backend().lower() in noninteractive:
         raise RuntimeError(
             "no interactive display: use the headless frame stream instead "
             "(python -m tpuvof -ic 1 -s, optionally --cycle-views)"
         )
 
     step_fn = make_step_fn(cfg)
-    ctl = {"mode": MODES.index(view), "paused": False, "quit": False}
+    ctl = {"mode": MODES.index(view), "paused": False, "quit": False,
+           "dirty": False}
 
     fig, ax = plt.subplots(figsize=(6, 6))
     fig.canvas.manager.set_window_title("tpuvof — SPACE view / p pause / q quit")
@@ -57,6 +59,7 @@ def live_loop(cfg: SimConfig, state: State, n_steps: int,
     def on_key(ev):
         if ev.key == " ":
             ctl["mode"] = (ctl["mode"] + 1) % len(MODES)
+            ctl["dirty"] = True  # re-render even while paused
             print(f">>> view mode: {MODES[ctl['mode']]}")
         elif ev.key == "p":
             ctl["paused"] = not ctl["paused"]
@@ -70,14 +73,16 @@ def live_loop(cfg: SimConfig, state: State, n_steps: int,
     istep = istep0
     t0 = time.time()
     while istep < istep0 + n_steps and not ctl["quit"]:
-        if ctl["paused"]:
+        if ctl["paused"] and not ctl["dirty"]:
             plt.pause(0.05)
             continue
-        # advance: the reference pre-increments istep, so step k runs the
-        # parity of istep = k (odd first)
-        for _ in range(min(steps_per_frame, istep0 + n_steps - istep)):
-            istep += 1
-            state = step_fn(state, jnp.asarray(istep))
+        if not ctl["paused"]:
+            # advance: the reference pre-increments istep, so step k runs
+            # the parity of istep = k (odd first)
+            for _ in range(min(steps_per_frame, istep0 + n_steps - istep)):
+                istep += 1
+                state = step_fn(state, jnp.asarray(istep))
+        ctl["dirty"] = False  # paused + SPACE: fall through to re-render
 
         mode = MODES[ctl["mode"]]
         rgb = np.asarray(render_frame(cfg, state, "vof" if mode == "vectors"

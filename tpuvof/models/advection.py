@@ -53,8 +53,6 @@ class AdvectionCase:
 def _centers(g: Grid2D):
     """Cell centers xm[i] = (x[i] + x[i+1]) / 2 over the padded index range
     (reference grid_staggered, test/forward_fct.py:58-65)."""
-    import numpy as np
-
     xs = np.hstack((0.0, np.linspace(0.0, g.Lx, g.nx + 1), g.Lx)).astype(np.float32)
     ys = np.hstack((0.0, np.linspace(0.0, g.Ly, g.ny + 1), g.Ly)).astype(np.float32)
     xm = 0.5 * (xs[: g.nx + 2] + xs[1 : g.nx + 3])
@@ -86,11 +84,6 @@ def _mirror_velocity_bc(u, v, g):
     return u, v
 
 
-def _interior_only(arr, g, fill=0.0):
-    out = np.full((g.nx + 2, g.ny + 2), fill, dtype=np.float32)
-    out[1:-1, 1:-1] = arr[1:-1, 1:-1]
-    return out
-
 
 def single_vortex(n: int = 500, tmax: int = 1000, dt: float = 1e-4):
     """Kothe-Rider single vortex deforming a circle (the active fixture,
@@ -118,7 +111,11 @@ def single_vortex(n: int = 500, tmax: int = 1000, dt: float = 1e-4):
 def zalesak_disk(n: int = 200, tmax: int = 1000, dt: float = 1e-4, omega: float = 3.0):
     """Zalesak's rotating slotted disk (commented fixture,
     test/forward_fct.py:141-166, 186-193): solid-body rotation about the
-    domain center; after a full revolution the disk should be unchanged."""
+    domain center. With the fixture's literal parameters the canonical
+    duration rotates omega*tmax*dt = 0.3 rad (~17 deg), NOT a full
+    revolution, so the returned target (= the initial disk) is a
+    shape-preservation yardstick, not the exact end state; a full
+    revolution needs omega = 2*pi/(tmax*dt) ~ 62.8."""
     g = Grid2D(n, n, Lx=float(np.pi), Ly=float(np.pi))
     case = AdvectionCase(grid=g, dt=dt, n_steps=tmax)
     xm, ym = _centers(g)
@@ -177,25 +174,35 @@ ADVECTION_CASES = {
 }
 
 
-@partial(jax.jit, static_argnums=(0, 4))
-def simulate_advection(case: AdvectionCase, F, u, v, n_steps: int):
+def simulate_advection(case: AdvectionCase, F, u, v, n_steps: int,
+                       istep0: int = 0):
     """Advect F for n_steps under the fixed staggered velocity (u, v).
 
     Matches the test program's schedule: 0-based parity (step 0 sweeps
-    y then x) with F ghost mirroring around each half sweep."""
+    y then x) with F ghost mirroring around each half sweep. Chunked
+    callers (the CLI frame loop) pass ``istep0`` (steps already taken) so
+    the parity continues across calls; reduced mod 2 before the jitted
+    core, like solver.simulate."""
+    return _simulate_advection_impl(case, F, u, v, n_steps, istep0 % 2)
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def _simulate_advection_impl(case: AdvectionCase, F, u, v, n_steps: int,
+                             istep0: int):
     from ..ops.bc import mirror_scalar
 
     g = case.grid
     nm = case.numerics()
     F = mirror_scalar(F)  # the test program's initial set_BC(0, F)
+    even1 = istep0 % 2 == 0  # 0-based: step istep0 is even-parity iff even
 
     def pair(F, _):
-        F = rudman_advect(g, nm, F, u, v, even_step=True)
-        F = rudman_advect(g, nm, F, u, v, even_step=False)
+        F = rudman_advect(g, nm, F, u, v, even_step=even1)
+        F = rudman_advect(g, nm, F, u, v, even_step=not even1)
         return F, None
 
     n_pairs, rem = divmod(n_steps, 2)
     F, _ = jax.lax.scan(pair, F, None, length=n_pairs)
     if rem:
-        F = rudman_advect(g, nm, F, u, v, even_step=True)
+        F = rudman_advect(g, nm, F, u, v, even_step=even1)
     return F

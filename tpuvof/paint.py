@@ -49,7 +49,8 @@ def paint_interactively(g: Grid2D, stamp: int = 2, title: str = "Paint your init
     import matplotlib
     import matplotlib.pyplot as plt
 
-    if matplotlib.get_backend().lower() == "agg":
+    noninteractive = {b.lower() for b in matplotlib.rcsetup.non_interactive_bk}
+    if matplotlib.get_backend().lower() in noninteractive:
         raise RuntimeError(
             "no interactive display: paint a target programmatically with "
             "diff.paint_blocks or pass --target-npy to the CLI"

@@ -139,8 +139,11 @@ def arrow_field(V: np.ndarray, arrow_spacing: int = 4):
     nx, ny = V.shape[0], V.shape[1]
     norm = np.linalg.norm(V, axis=-1)
     scale = min(nx, ny) * 0.1 / (norm.max() + 1e-16)
-    xs = np.arange(0, 1, arrow_spacing / nx)
-    ys = np.arange(0, 1, arrow_spacing / ny)
+    # build origins by INTEGER slicing so begin and incre always have the
+    # same length (the reference's float arange can emit one extra row
+    # when arrow_spacing/n rounds down, crashing the quiver overlay)
+    xs = np.arange(0, nx, arrow_spacing) / nx
+    ys = np.arange(0, ny, arrow_spacing) / ny
     X, Y = np.meshgrid(xs, ys)
     begin = np.dstack((X, Y)).reshape(-1, 2, order="F")
     incre = (
