@@ -83,3 +83,27 @@ def test_distributed_pallas_windowed_matches_serial():
                                np.asarray(want.u)[1:-1, 1:-1], atol=1e-13)
     np.testing.assert_allclose(np.asarray(got.p)[1:-1, 1:-1],
                                np.asarray(want.p)[1:-1, 1:-1], atol=1e-9)
+
+
+def test_distributed_matches_serial_from_non_bc_consistent_state():
+    """The serial driver applies apply_bc once at entry before its lean
+    steps; the distributed run must do the same (it did not, and a state
+    whose ghost ring is not already BC-consistent — e.g. painted or
+    hand-built — diverged at ~1e-8 while the canonical ICs passed only
+    because their ghosts happen to equal their mirrors)."""
+    cfg = tv.SimConfig(grid=tv.Grid2D(16, 16))
+    s0 = tv.init_state(cfg, ic=1)
+    F = jnp.asarray(np.asarray(s0.F, np.float64))
+    F = F.at[0, :].add(0.01).at[:, -1].add(-0.02)
+    u = jnp.asarray(np.asarray(s0.u, np.float64)).at[0, :].add(1e-3)
+    s0 = tv.State(F=F, u=u,
+                  v=jnp.asarray(np.asarray(s0.v, np.float64)),
+                  p=jnp.asarray(np.asarray(s0.p, np.float64)))
+    want = tv.simulate(cfg, s0, 4)
+    dec = Decomp(cfg, make_mesh(2, 4))
+    got = dec.simulate(s0, 4)
+    for name in ("F", "u", "v", "p"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name))[1:-1, 1:-1],
+            np.asarray(getattr(want, name))[1:-1, 1:-1],
+            atol=1e-12, err_msg=name)

@@ -103,6 +103,11 @@ class SimConfig:
     fluid: Fluid = field(default_factory=Fluid)
     num: Numerics = field(default_factory=Numerics)
 
+    def __post_init__(self):
+        # the FCT limiter scaling assumes square cells (fct.py docstring);
+        # a non-square grid silently mis-scaled the y-sweep before this
+        self.grid.validate()
+
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)
 

@@ -129,6 +129,17 @@ class Grid3D:
     Ly: float = 0.1
     Lz: float = 0.1
 
+    def validate(self) -> "Grid3D":
+        if min(self.nx, self.ny, self.nz) < 2:
+            raise ValueError("grid needs at least 2 interior cells per axis")
+        if abs(self.dx - self.dy) > 1e-12 or abs(self.dx - self.dz) > 1e-12:
+            raise ValueError(
+                "non-cubic cells are unsupported: the 3-D FCT sweeps keep "
+                "the reference's literal scale factors (3dvof.py:438), "
+                "which are only consistent on cubic cells"
+            )
+        return self
+
     @property
     def shape(self) -> tuple[int, int, int]:
         return (self.nx + 2, self.ny + 2, self.nz + 2)

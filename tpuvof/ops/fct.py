@@ -30,6 +30,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..config import FCTVariant, Numerics
+from .bc import mirror_scalar
 from .common import clamp01, embed2, merge_interior
 from ..grid import Grid2D
 
@@ -139,14 +140,6 @@ def fct_sweep_y(g: Grid2D, nm: Numerics, F, v, var: FCTVariant | None = None, sy
     return _sweep_axis0(g.dy, g.dx, nm.dt, var, F.T, v.T, sync=sync_t).T
 
 
-def _mirror_F(F):
-    """F-only ghost mirror used between half-sweeps by the scheme test
-    (test/forward_fct.py:223-234,258-265)."""
-    F = F.at[:, 0].set(F[:, 1])
-    F = F.at[:, -1].set(F[:, -2])
-    F = F.at[0, :].set(F[1, :])
-    F = F.at[-1, :].set(F[-2, :])
-    return F
 
 
 def rudman_advect(
@@ -165,13 +158,13 @@ def rudman_advect(
     if even_step:
         F = fct_sweep_y(g, nm, F, v, var)
         if nm.bc_between_sweeps:
-            F = _mirror_F(F)
+            F = mirror_scalar(F)
         F = fct_sweep_x(g, nm, F, u, var)
     else:
         F = fct_sweep_x(g, nm, F, u, var)
         if nm.bc_between_sweeps:
-            F = _mirror_F(F)
+            F = mirror_scalar(F)
         F = fct_sweep_y(g, nm, F, v, var)
     if nm.bc_between_sweeps:
-        F = _mirror_F(F)
+        F = mirror_scalar(F)
     return F

@@ -17,12 +17,16 @@ import jax.numpy as jnp
 from ..grid import Grid2D
 from .common import win, embed2
 
-__all__ = ["young_normals_curvature"]
+__all__ = [
+    "young_normals",
+    "curvature_from_normals",
+    "young_normals_curvature",
+]
 
 
-def young_normals_curvature(g: Grid2D, F):
-    """Return (mx, my, kappa) full-shape arrays (ghosts zero, as in the
-    reference where ghost entries of the normal fields are never written)."""
+def young_normals(g: Grid2D, F):
+    """The normalized Youngs interface normals (mx, my), full-shape with
+    zero ghosts (the reference never writes the normal fields' ghosts)."""
     ri = (1, g.nx + 1)
     rj = (1, g.ny + 1)
 
@@ -53,15 +57,29 @@ def young_normals_curvature(g: Grid2D, F):
     mx_int = jnp.where(degenerate, mxsum, mxsum / safe_mag)
     my_int = jnp.where(degenerate, mysum, mysum / safe_mag)
 
-    mx = embed2(mx_int, 1, 1, 1, 1)
-    my = embed2(my_int, 1, 1, 1, 1)
+    return embed2(mx_int, 1, 1, 1, 1), embed2(my_int, 1, 1, 1, 1)
 
-    # kappa = -div(m-hat) by central differences (reference 2dvof.py:307-309);
-    # reads the ghost-zero normal field at the domain edge, as the reference
-    # does (its ghost entries are never written).
+
+def curvature_from_normals(g: Grid2D, mx, my):
+    """kappa = -div(m-hat) by central differences (reference
+    2dvof.py:307-309); reads the ghost-zero normal field at the domain
+    edge, as the reference does (its ghost entries are never written).
+    Callable on its own so the distributed solver can re-run it on
+    halo-exchanged normals without recomputing the normals themselves."""
+    ri = (1, g.nx + 1)
+    rj = (1, g.ny + 1)
+    inv2dx = 1.0 / (2.0 * g.dx)
+    inv2dy = 1.0 / (2.0 * g.dy)
     kap_int = -(
         inv2dx * (win(mx, ri, rj, 1, 0) - win(mx, ri, rj, -1, 0))
         + inv2dy * (win(my, ri, rj, 0, 1) - win(my, ri, rj, 0, -1))
     )
-    kappa = embed2(kap_int, 1, 1, 1, 1)
-    return mx, my, kappa
+    return embed2(kap_int, 1, 1, 1, 1)
+
+
+def young_normals_curvature(g: Grid2D, F):
+    """Return (mx, my, kappa) full-shape arrays (ghosts zero, as in the
+    reference where ghost entries of the normal fields are never
+    written)."""
+    mx, my = young_normals(g, F)
+    return mx, my, curvature_from_normals(g, mx, my)

@@ -34,6 +34,7 @@ from ..ops.momentum import correct_velocity_interior
 
 __all__ = [
     "pallas_available",
+    "fits_vmem_2d",
     "project_pressure_and_correct",
     "pallas_fct_sweep_x",
     "pallas_fct_sweep_y",
@@ -45,6 +46,19 @@ __all__ = [
 
 def pallas_available() -> bool:
     return jax.default_backend() not in ("cpu",)
+
+
+def fits_vmem_2d(n_i: int, n_j: int) -> bool:
+    """Whether a whole-field kernel working set fits the v5e's VMEM:
+    ~24 live field-sized temporaries at the (8, 128)-padded field shape
+    under the 124 MB cap (measured 113.4 MB at 1024^2 for the mono
+    kernel). THE single statement of the measured envelope — used by the
+    serial backend dispatch (solver._fits_vmem) and the per-shard
+    windowed-kernel check (parallel/dist.py), which previously carried
+    independent copies of these constants."""
+    n0 = ((n_i + 9) // 8) * 8
+    n1 = ((n_j + 129) // 128) * 128
+    return 24 * n0 * n1 * 4 <= 124 * 2**20
 
 
 def _vmem_specs(n):

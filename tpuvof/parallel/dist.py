@@ -28,9 +28,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import SimConfig
 from ..state import State
 from ..ops import clamp01, mix_properties
+from ..ops.poisson import divergence_rhs
 from ..ops.fct import fct_sweep_x, fct_sweep_y
 from ..ops.momentum import predict_velocity_interior, correct_velocity_interior
-from ..ops.normals import young_normals_curvature
+from ..ops.normals import curvature_from_normals, young_normals
 from .halo import HaloSpec, exchange
 from .halo import _shift as _hshift
 
@@ -193,15 +194,10 @@ class Decomp:
         return ae, aw, an, a_s, ap_inv
 
     def _solve_pressure(self, p, u_star, v_star, rho):
-        g, nm = self.cfg.grid, self.cfg.num
-        rhs = (
-            rho[1:-1, 1:-1]
-            / nm.dt
-            * (
-                (u_star[2:, 1:-1] - u_star[1:-1, 1:-1]) * g.dxi
-                + (v_star[1:-1, 2:] - v_star[1:-1, 1:-1]) * g.dyi
-            )
-        )
+        nm = self.cfg.num
+        # the serial rhs op is shape-agnostic: local extents + global
+        # spacing (self.gl) give the per-shard interior rhs
+        rhs = divergence_rhs(self.gl, nm, u_star, v_star, rho)
         ae, aw, an, a_s, ap_inv = self._poisson_coeffs(p.dtype)
 
         def body(_, p):
@@ -227,18 +223,13 @@ class Decomp:
         shape_int = (self.nxl, self.nyl)
 
         rho, nu = mix_properties(fl, F)
-        mx, my, kappa = young_normals_curvature(gl, F)
-        # kappa needs neighbor normals; its own ghosts feed the momentum op.
+        # curvature needs neighbor normals: compute normals, exchange,
+        # then ONE curvature pass on the synced field (the fused serial
+        # op would compute a kappa that shard-boundary cells immediately
+        # discard)
+        mx, my = young_normals(gl, F)
         mx, my = ex(mx), ex(my)
-        # recompute curvature with synced normals (the serial op already
-        # produced interior kappa from local normals; shard-boundary cells
-        # need the neighbor's normals)
-        inv2dx, inv2dy = 1.0 / (2 * gl.dx), 1.0 / (2 * gl.dy)
-        kap_int = -(
-            inv2dx * (mx[2:, 1:-1] - mx[:-2, 1:-1])
-            + inv2dy * (my[1:-1, 2:] - my[1:-1, :-2])
-        )
-        kappa = ex(jnp.zeros_like(F).at[1:-1, 1:-1].set(kap_int))
+        kappa = ex(curvature_from_normals(gl, mx, my))
 
         us, vs = predict_velocity_interior(gl, fl, nm, u, v, F, rho, nu, kappa)
         us = jnp.where(h.is_left() & _col_mask(shape_int, 0, 0), 0.0, us)
@@ -324,12 +315,13 @@ class Decomp:
         <= 124 MB)."""
         from ..pallas_kernels.step_kernels import step_halo_width
 
+        from ..pallas_kernels.step_kernels import fits_vmem_2d
+
         W = step_halo_width(self.cfg)
         if (self.px > 1 and self.nxl < W) or (self.py > 1 and self.nyl < W):
             return False
-        n0 = ((self.nxl + 2 + 2 * W + 7) // 8) * 8
-        n1 = ((self.nyl + 2 + 2 * W + 127) // 128) * 128
-        return 24 * n0 * n1 * 4 <= 124 * 2**20
+        # the extended (wide-halo) block plays the role of the whole field
+        return fits_vmem_2d(self.nxl + 2 * W + 2, self.nyl + 2 * W + 2)
 
     # ------------------------------------------------------------------
     # public API
@@ -338,6 +330,13 @@ class Decomp:
         """Jitted (state, n_steps static) -> state over blocked arrays."""
         spec = P(self.ax, self.ay)
 
+        if self.cfg.num.pressure_solver != "jacobi":
+            import warnings
+
+            warnings.warn(
+                f"pressure_solver={self.cfg.num.pressure_solver!r} has no "
+                "distributed implementation; the sharded step runs the "
+                "reference's fixed-iteration Jacobi")
         use_pallas = self.cfg.num.backend in ("pallas", "pallas_mono")
         if use_pallas and not self.pallas_shard_supported():
             import warnings
@@ -366,6 +365,15 @@ class Decomp:
             even1 = (istep0 + 1) % 2 == 0
 
             def sharded_steps(F, u, v, p):
+                # entry BC, exactly like serial simulate (solver.py): the
+                # framework's canonical semantics run lean steps from a
+                # BC-consistent state; without this, a state whose ghost
+                # ring is not already mirrored diverged from serial at
+                # ~1e-8 (the serial entry BC changed the first predictor's
+                # inputs while the shards read the raw ghosts)
+                rho0, _ = mix_properties(self.cfg.fluid, F)
+                u, v, F, p, _ = self._bc(u, v, F, p, rho0)
+
                 def pair(carry, _):
                     F, u, v, p = carry
                     F, u, v, p = local(F, u, v, p, even_step=even1)

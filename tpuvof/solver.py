@@ -63,6 +63,18 @@ def step(cfg: SimConfig, state: State, even_step: bool, lean: bool = False) -> S
     elif cfg.num.backend == "pallas":
         return _step_pallas(cfg, state, even_step, lean=lean)
     elif cfg.num.backend == "pallas_mono":
+        if not lean:
+            # the mono kernel implements the LEAN step only; on a
+            # BC-consistent entry state that is exactly the full step
+            # (see the lean argument above), but a caller with raw ghosts
+            # would silently get different numbers than backend='xla' —
+            # say so once (at trace time) instead
+            import warnings
+
+            warnings.warn(
+                "backend='pallas_mono' runs the lean step (exact only "
+                "from BC-consistent states, which simulate() guarantees); "
+                "pass lean=True to silence this", stacklevel=2)
         return _step_pallas_mono(cfg, state, even_step)
     g, fl, nm = cfg.grid, cfg.fluid, cfg.num
     F, u, v, p = state
@@ -119,14 +131,12 @@ def effective_backend(cfg: SimConfig) -> str:
 
 
 def _fits_vmem(cfg: SimConfig) -> bool:
-    """Whether the fused kernels' whole-field working set fits VMEM.
-    Mosaic's planner keeps ~24 padded volumes live for the mono kernel
-    (measured 113.4 MB at 1024^2 against the v5e's 128 MB), so grids up to
-    1024^2 qualify; larger fall back to the XLA path."""
-    g = cfg.grid
-    n0 = ((g.nx + 9) // 8) * 8
-    n1 = ((g.ny + 129) // 128) * 128
-    return 24 * n0 * n1 * 4 <= 124 * 2**20
+    """Whether the fused kernels' whole-field working set fits VMEM (the
+    measured envelope lives in pallas_kernels.step_kernels.fits_vmem_2d;
+    grids up to 1024^2 qualify, larger fall back to the XLA path)."""
+    from .pallas_kernels.step_kernels import fits_vmem_2d
+
+    return fits_vmem_2d(cfg.grid.nx, cfg.grid.ny)
 
 
 def _step_pallas(cfg: SimConfig, state: State, even_step: bool,

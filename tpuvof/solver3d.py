@@ -261,6 +261,7 @@ def simulate_3d(g: Grid3D, state: State3D, n_steps: int,
     each chunk follows a (valid but) different trajectory. Reduced mod 3
     before the jitted core, so chunked drivers compile at most three
     programs per shape."""
+    g.validate()  # cubic cells only (the 3-D FCT scale factors assume it)
     return _simulate_3d_impl(g, state, n_steps, dt, n_jacobi, fl,
                              backend, istep0 % 3)
 
