@@ -47,6 +47,53 @@ def run_backend(tv, n, n_steps, backend):
     return min(times), effective_backend(cfg)
 
 
+def bench_3d_200(tv, n_steps=100):
+    """3-D flagship (reference 3dvof.py:20-22): 200^3 dam break on the
+    slab-Pallas pipeline. Warm once (the FIRST large execution in a fresh
+    process can run 10-30x slow even with cached programs — BASELINE.md),
+    then best-of-3. One program: istep0=0 each run."""
+    from tpuvof.grid import Grid3D
+    from tpuvof.solver3d import init_state_3d, simulate_3d
+
+    g = Grid3D(200, 200, 200)
+    state = init_state_3d(g, ic=1)
+
+    def run(s):
+        t0 = time.perf_counter()
+        out = simulate_3d(g, s, n_steps, backend="pallas")
+        np.asarray(out.F[:1, :1, :8])
+        return time.perf_counter() - t0, out
+
+    _, s = run(state)  # warmup / compile
+    best = min(run(state)[0] for _ in range(3))
+    return 200**3 * n_steps / best, best
+
+
+def bench_dist_512(tv, n_steps=1000):
+    """Distributed machinery tax gate: 512^2 dam break through Decomp on a
+    1x1 mesh (windowed per-shard kernel), device-resident blocked state."""
+    import jax
+    from jax.sharding import Mesh
+    from tpuvof.parallel import Decomp
+
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("mx", "my"))
+    cfg = tv.SimConfig(grid=tv.Grid2D(512, 512),
+                       num=tv.Numerics(backend="pallas_mono"))
+    dec = Decomp(cfg, mesh)
+    blocked = dec.scatter_state(tv.init_state(cfg, ic=1))
+    run_fn = dec.make_simulate()
+
+    def run(b):
+        t0 = time.perf_counter()
+        out = run_fn(b, n_steps)
+        np.asarray(out.F[:1, :8])
+        return time.perf_counter() - t0, out
+
+    _, b = run(blocked)  # warmup / compile
+    best = min(run(blocked)[0] for _ in range(3))
+    return 512 * 512 * n_steps / best, best
+
+
 def main():
     import jax
     import tpuvof as tv
@@ -74,6 +121,24 @@ def main():
     best = results[backend]
     cups = n * n * n_steps / best
 
+    # flagship coverage beyond the 512^2 headline (VERDICT r2 #5): the
+    # 3-D 200^3 slab-pallas and distributed-1x1 numbers become
+    # driver-visible so a regression there moves BENCH_r{N}, not just a
+    # hand-run sweep file. TPU-only (the CPU stand-in would take hours).
+    extras = {}
+    if jax.default_backend() != "cpu":
+        for key, fn in (("cups_3d_200_pallas", bench_3d_200),
+                        ("cups_dist_512_1x1", bench_dist_512)):
+            try:
+                cups_x, secs_x = fn(tv)
+                extras[key] = round(cups_x, 1)
+                extras[key + "_seconds"] = round(secs_x, 4)
+            except Exception:
+                print(f"bench: extra workload {key!r} FAILED:",
+                      file=sys.stderr)
+                traceback.print_exc()
+                extras[key] = None
+
     baseline = BASELINE_CUPS
     if not baseline:
         try:
@@ -99,6 +164,7 @@ def main():
                     k: round(v, 4) for k, v in sorted(results.items())
                 },
                 "seconds_per_1000_steps": round(best, 4),
+                **extras,
             }
         )
     )

@@ -130,7 +130,9 @@ def run_distributed(args, cfg, state, istep) -> int:
           f"({[d.platform for d in devs[:1]][0]} devices); compiling...")
     t0 = time.time()
     target_step = istep + args.steps
-    frame_idx = 0
+    # seed from the resumed step so a --resume run continues the frame
+    # numbering instead of overwriting the pre-resume frames (ADVICE r2)
+    frame_idx = istep // args.frame_every
     while istep < target_step:
         n = min(args.frame_every, target_step - istep)
         blocked = run(blocked, n, istep)  # istep0: parity continues
@@ -376,7 +378,9 @@ def main(argv=None) -> int:
     print(">>> Compiling the step program...")
 
     vis_idx = MODES.index(args.view)
-    frame_idx = 0
+    # seed from the resumed step so a --resume run continues the frame
+    # numbering instead of overwriting the pre-resume frames (ADVICE r2)
+    frame_idx = istep // args.frame_every
     target_step = istep + args.steps
     profile_cm = None
     if args.profile_dir:

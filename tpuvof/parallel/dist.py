@@ -320,8 +320,11 @@ class Decomp:
         W = step_halo_width(self.cfg)
         if (self.px > 1 and self.nxl < W) or (self.py > 1 and self.nyl < W):
             return False
-        # the extended (wide-halo) block plays the role of the whole field
-        return fits_vmem_2d(self.nxl + 2 * W + 2, self.nyl + 2 * W + 2)
+        # the extended (wide-halo) block plays the role of the whole field:
+        # pass its INTERIOR extents — fits_vmem_2d adds the ghost ring
+        # itself (passing nxl+2W+2 double-counted the ring and pushed
+        # borderline shard geometries onto the slow XLA fallback, ADVICE r2)
+        return fits_vmem_2d(self.nxl + 2 * W, self.nyl + 2 * W)
 
     # ------------------------------------------------------------------
     # public API

@@ -54,7 +54,15 @@ def step(cfg: SimConfig, state: State, even_step: bool, lean: bool = False) -> S
     that still hold their BC values (wall faces are excluded from the
     update ranges). The final full BC is kept, so even the ghost entries of
     the result are identical. tests/test_solver_lean.py pins exact
-    equality; `simulate` applies BC once at entry and runs lean steps."""
+    equality; `simulate` applies BC once at entry and runs lean steps.
+
+    Backend contract for non-BC-consistent entry states: backends agree
+    exactly whenever the entry state's ghost ring is BC-consistent (what
+    every canonical driver produces). From raw-ghost states, 'xla' with
+    lean=False feeds the raw ghosts to the predictor (the literal
+    reference pipeline), while 'pallas_mono' applies BC at entry and runs
+    the lean step (the canonical simulate() semantics) — deterministic,
+    but a different off-spec trajectory."""
     if cfg.num.backend in ("pallas", "pallas_mono") and not _fits_vmem(cfg):
         # whole-field VMEM residency is the kernels' design envelope;
         # larger grids use the XLA path (same numbers) — warn once so a
@@ -64,17 +72,19 @@ def step(cfg: SimConfig, state: State, even_step: bool, lean: bool = False) -> S
         return _step_pallas(cfg, state, even_step, lean=lean)
     elif cfg.num.backend == "pallas_mono":
         if not lean:
-            # the mono kernel implements the LEAN step only; on a
-            # BC-consistent entry state that is exactly the full step
-            # (see the lean argument above), but a caller with raw ghosts
-            # would silently get different numbers than backend='xla' —
-            # say so once (at trace time) instead
-            import warnings
-
-            warnings.warn(
-                "backend='pallas_mono' runs the lean step (exact only "
-                "from BC-consistent states, which simulate() guarantees); "
-                "pass lean=True to silence this", stacklevel=2)
+            # the mono kernel implements the LEAN step; make the non-lean
+            # call deterministic across backends by applying BC at entry —
+            # on a BC-consistent state (the only states the canonical
+            # drivers produce; BC is idempotent) this is exactly the full
+            # step, and from raw-ghost states the result is the canonical
+            # entry-BC + lean semantics of simulate() rather than a silent
+            # lean-only trajectory (ADVICE r2). The xla path's non-lean
+            # step from raw ghosts feeds the raw ghosts to the predictor;
+            # that off-spec trajectory is not reproduced here (see the
+            # docstring contract above).
+            F, u, v, p = state
+            u, v, F, p = apply_bc(u, v, F, p)
+            state = State(F=F, u=u, v=v, p=p)
         return _step_pallas_mono(cfg, state, even_step)
     g, fl, nm = cfg.grid, cfg.fluid, cfg.num
     F, u, v, p = state
