@@ -126,3 +126,16 @@ def test_paint_blocks():
     t = np.asarray(t)
     assert t[10, 10] == 1.0 and t[9, 9] == 1.0
     assert t.sum() == pytest.approx(16 + 4)  # full block + corner-clipped block
+
+
+def test_rollout_frames_matches_rollout():
+    """The viz-only chunked forward (CLI --view-every, VERDICT r2 #8) must
+    follow the exact gradient-rollout trajectory: chunking preserves the
+    0-based parity schedule, including odd chunk sizes."""
+    cfg = small_cfg()
+    F0 = smooth_f0(cfg)
+    want = diff.rollout(cfg, F0, 7, remat=False).F
+    frames = list(diff.rollout_frames(cfg, F0, 7, every=3))
+    assert [s for s, _ in frames] == [3, 6, 7]
+    np.testing.assert_array_equal(np.asarray(frames[-1][1]),
+                                  np.asarray(want))

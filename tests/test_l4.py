@@ -295,3 +295,16 @@ def test_cli_mesh_distributed_run(tmp_path):
                    "--outdir", str(tmp_path)])
     assert rc == 0
     assert any(f.endswith("-f.png") for f in os.listdir(tmp_path))
+
+
+def test_cli_optimize_view_every(tmp_path):
+    """--view-every N writes current-vs-target frames from INSIDE each
+    epoch's forward (the reference's in-forward rendering cadence,
+    diff_vof.py:524-554; VERDICT r2 #8)."""
+    rc = cli.main(["--optimize", "1", "--nx", "12", "--opt-steps", "4",
+                   "--epochs", "1", "--view-every", "2",
+                   "--outdir", str(tmp_path)])
+    assert rc == 0
+    mid = [f for f in os.listdir(str(tmp_path)) if "-step" in f]
+    assert sorted(mid) == ["opt-0000-step00002-vs-target.png",
+                           "opt-0000-step00004-vs-target.png"]

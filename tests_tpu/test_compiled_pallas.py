@@ -102,3 +102,61 @@ def test_compiled_dist3d_pallas_bitexact_on_1x1_mesh():
         np.testing.assert_array_equal(
             np.asarray(getattr(got, name))[1:-1],
             np.asarray(getattr(want, name))[1:-1], err_msg=name)
+
+
+def test_compiled_3d_slab_step_matches_xla_128():
+    """Flagship-adjacent shape (VERDICT r2 #4): 128^3 exercises the same
+    _pick_chunk/VMEM/DMA regime as the 200^3 production workload (whose
+    program the benchmarks keep warm); 12 steps cover all sweep phases."""
+    from tpuvof.grid import Grid3D
+    from tpuvof.solver3d import simulate_3d
+
+    g = Grid3D(128, 128, 128)
+    s0 = tv.init_state_3d(g, ic=1)
+    a = simulate_3d(g, s0, 12, backend="xla")
+    b = simulate_3d(g, s0, 12, backend="pallas")
+    tol = {"F": 5e-6, "u": 1e-7, "v": 1e-7, "w": 1e-7, "p": 1e-3}
+    for name in ("F", "u", "v", "w", "p"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(b, name), np.float64),
+            np.asarray(getattr(a, name), np.float64),
+            atol=tol[name], err_msg=name)
+
+
+def test_compiled_dist2d_pallas_bitexact_on_1x1_mesh():
+    """The 2-D resident windowed engine compiled on the real chip, 1x1
+    mesh (the 3-D counterpart is pinned above): at px=py=1 the halo
+    refresh is a no-op and the windowed kernel's global masks reduce to
+    the serial ones, so the trajectory must be BIT-identical to the
+    serial canonical path (simulate: entry BC + lean steps)."""
+    import jax
+    from jax.sharding import Mesh
+    from tpuvof.parallel import Decomp
+
+    cfg = tv.SimConfig(grid=tv.Grid2D(64, 64),
+                       num=tv.Numerics(backend="pallas_mono"))
+    state = tv.init_state(cfg, ic=1)
+    want = tv.simulate(cfg, state, 8)
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("mx", "my"))
+    dec = Decomp(cfg, mesh)
+    assert dec.pallas_shard_supported()
+    got = dec.simulate(state, 8)
+    for name in ("F", "u", "v", "p"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, name))[1:-1, 1:-1],
+            np.asarray(getattr(want, name))[1:-1, 1:-1], err_msg=name)
+
+
+def test_compiled_mono_kernel_at_vmem_envelope_edge():
+    """1024^2 is the largest grid fits_vmem_2d admits (the measured
+    113.4 MB envelope edge); the mono kernel must actually run there —
+    a VMEM-envelope regression would silently fall back to XLA."""
+    from tpuvof.solver import effective_backend
+
+    cfg = tv.SimConfig(grid=tv.Grid2D(1024, 1024),
+                       num=tv.Numerics(backend="pallas_mono"))
+    assert effective_backend(cfg) == "pallas_mono"
+    s = tv.simulate(cfg, tv.init_state(cfg, ic=1), 50)
+    F = np.asarray(s.F)
+    assert np.isfinite(F).all()
+    assert F.min() >= 0.0 and F.max() <= 1.0

@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=0.02)
     p.add_argument("--opt-steps", type=int, default=999, dest="opt_steps",
                    help="forward steps per optimization epoch")
+    p.add_argument("--view-every", type=int, default=0, dest="view_every",
+                   metavar="N",
+                   help="during --optimize, render current-vs-target every "
+                        "N steps INSIDE each epoch's forward (the "
+                        "reference's in-forward rendering, "
+                        "diff_vof.py:524-554); 0 = per-epoch frames only")
     p.add_argument("--optimize-case", default=None, dest="optimize_case",
                    choices=[None, "single_vortex", "zalesak_disk", "translation",
                             "checkerboard"],
@@ -259,6 +265,17 @@ def run_optimize(args) -> int:
                 np.asarray(F_end), np.asarray(Ftarget))
             save_grad_png(os.path.join(args.outdir, f"opt-{epoch:04d}-grad.png"),
                           np.asarray(grad))
+        if not args.no_frames and args.view_every:
+            # mid-epoch evolution frames of this epoch's forward
+            # (diff_vof.py:524-554); a separate viz-only chunked rollout —
+            # the scanned gradient rollout stays host-sync-free
+            for step, F in diff.rollout_frames(cfg, F0, args.opt_steps,
+                                               args.view_every):
+                save_side_by_side_png(
+                    os.path.join(
+                        args.outdir,
+                        f"opt-{epoch:04d}-step{step:05d}-vs-target.png"),
+                    np.asarray(F), np.asarray(Ftarget))
 
     opts = diff.DiffOptions(n_steps=args.opt_steps, lr=args.lr)
     F0, losses = diff.optimize_f0(cfg, Ftarget, opts=opts,

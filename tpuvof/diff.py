@@ -165,6 +165,45 @@ def rollout(cfg: SimConfig, F0, n_steps: int, remat: bool = True) -> State:
     return state
 
 
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def _rollout_chunk(cfg: SimConfig, state: State, k: int,
+                   parity0: int) -> State:
+    """k steps of step_diff continuing the 0-based parity schedule from
+    global step index parity0 (chunked calls MUST pass it — cf. the
+    istep0 contract of solver.simulate)."""
+    first_even = parity0 == 0
+
+    def pair_body(s, _):
+        s = step_diff(cfg, s, even_step=first_even)
+        s = step_diff(cfg, s, even_step=not first_even)
+        return s, None
+
+    n_pairs, rem = divmod(k, 2)
+    state, _ = jax.lax.scan(pair_body, state, None, length=n_pairs)
+    if rem:
+        state = step_diff(cfg, state, even_step=first_even)
+    return state
+
+
+def rollout_frames(cfg: SimConfig, F0, n_steps: int, every: int):
+    """Visualization-only chunked forward: the reference renders
+    current-vs-target every 20 steps INSIDE each optimization forward
+    (diff_vof.py:524-554); this generator yields (step, F) every `every`
+    steps of the same trajectory so the CLI can write those frames. Same
+    0-based parity schedule as `rollout` (chunking preserves it via the
+    step-index parity); the final state is bit-identical to
+    rollout(remat=False) — pinned by tests/test_diff.py. No remat, no
+    grad: the gradient path is untouched."""
+    z = jnp.zeros_like(F0)
+    state = State(F=F0, u=z, v=z, p=z)
+    done = 0
+    while done < n_steps:
+        k = min(every, n_steps - done)
+        state = _rollout_chunk(cfg, state, k, done % 2)
+        done += k
+        yield done, state.F
+
+
 def l1_loss(F_final, Ftarget):
     """L1 over the full padded array, ghosts included (diff_vof.py:471-474)."""
     return jnp.sum(jnp.abs(Ftarget - F_final))

@@ -193,11 +193,84 @@ class Decomp:
         ap_inv = -1.0 / (ae + aw + an + a_s)
         return ae, aw, an, a_s, ap_inv
 
+    def _gsum(self, x):
+        s = jnp.sum(x)
+        if self.px > 1:
+            s = lax.psum(s, self.halo.axis_x)
+        if self.py > 1:
+            s = lax.psum(s, self.halo.axis_y)
+        return s
+
+    def _gmax(self, x):
+        m = jnp.max(x)
+        if self.px > 1:
+            m = lax.pmax(m, self.halo.axis_x)
+        if self.py > 1:
+            m = lax.pmax(m, self.halo.axis_y)
+        return m
+
+    def _solve_pressure_rbsor(self, p, rhs):
+        """Distributed red-black SOR with the on-device residual stop
+        (VERDICT r2 #6): the serial upgrade solver (ops/poisson._rbsor),
+        with one halo exchange per half-sweep (each color reads the other
+        color's fresh shard-boundary values), the rhs nullspace projection
+        as a psum-mean, and the stopping residual as a psum-mean +
+        pmax-max so every shard takes the identical trip count. Red/black
+        parity is evaluated at GLOBAL indices, so the sweep updates the
+        same cells as serial; values match serial to collective-
+        reassociation noise (pinned at 1e-12 by tests/test_parallel.py)."""
+        g, nm, h = self.cfg.grid, self.cfg.num, self.halo
+        npts = g.nx * g.ny
+        rhs = rhs - self._gsum(rhs) / npts
+        ae, aw, an, a_s, ap_inv = self._poisson_coeffs(p.dtype)
+        ap = 1.0 / ap_inv
+        shape = (self.nxl, self.nyl)
+        gi = lax.broadcasted_iota(jnp.int32, shape, 0) + h.xi() * self.nxl
+        gj = lax.broadcasted_iota(jnp.int32, shape, 1) + h.yi() * self.nyl
+        red = (gi + gj) % 2 == 0
+        omega = nm.sor_omega
+
+        def neigh(p):
+            return (
+                rhs
+                - ae * p[2:, 1:-1]
+                - aw * p[:-2, 1:-1]
+                - an * p[1:-1, 2:]
+                - a_s * p[1:-1, :-2]
+            )
+
+        def half_sweep(p, mask):
+            gs = neigh(p) * ap_inv
+            p_int = p[1:-1, 1:-1]
+            upd = p_int + omega * (gs - p_int)
+            return exchange(
+                h, p.at[1:-1, 1:-1].set(jnp.where(mask, upd, p_int)))
+
+        def resid(p):
+            r = neigh(p) - ap * p[1:-1, 1:-1]
+            r = r - self._gsum(r) / npts
+            return self._gmax(jnp.abs(r))
+
+        def cond(carry):
+            p, it = carry
+            return (it < nm.sor_max_iter) & (resid(p) > nm.sor_tol)
+
+        def body(carry):
+            p, it = carry
+            p = half_sweep(p, red)
+            p = half_sweep(p, ~red)
+            return p, it + 1
+
+        p, _ = lax.while_loop(cond, body, (p, jnp.zeros((), jnp.int32)))
+        return p
+
     def _solve_pressure(self, p, u_star, v_star, rho):
         nm = self.cfg.num
         # the serial rhs op is shape-agnostic: local extents + global
         # spacing (self.gl) give the per-shard interior rhs
         rhs = divergence_rhs(self.gl, nm, u_star, v_star, rho)
+        if nm.pressure_solver == "rbsor":
+            return self._solve_pressure_rbsor(p, rhs)
         ae, aw, an, a_s, ap_inv = self._poisson_coeffs(p.dtype)
 
         def body(_, p):
@@ -291,7 +364,45 @@ class Decomp:
             lo = hi = zeros((a.shape[0], W))
         return jnp.concatenate([lo, a, hi], axis=1)
 
+    def _refresh_halo_2d(self, a, W: int):
+        """In-place halo refresh on a RESIDENT extended block (round-3:
+        the round-2 engine re-widened and re-sliced every step — two full
+        block copies; git history): overwrite the (W+1) outer bands per
+        side with the neighbors' owned data via ppermute + static-slice
+        .at[].set (in-place dynamic-update-slice, no concatenate). Two
+        stages, x rows FIRST then full-height y columns — every shard's
+        x-stage runs before any y-stage (SPMD lockstep), so the y-stage
+        ships x-halo rows that were just refreshed and corners end up
+        with diagonal-neighbor data, exactly like _widen's staging. Edge
+        shards keep their beyond-wall junk (inert under the windowed
+        kernel's global-index masks)."""
+        h = self.halo
+        nxl, nyl = self.nxl, self.nyl
+        if self.px > 1:
+            lo = _hshift(a[nxl: nxl + W + 1, :], h.axis_x, self.px, up=True)
+            hi = _hshift(a[W + 1: 2 * W + 2, :], h.axis_x, self.px,
+                         up=False)
+            a = a.at[: W + 1, :].set(
+                jnp.where(h.is_left(), a[: W + 1, :], lo))
+            a = a.at[W + nxl + 1:, :].set(
+                jnp.where(h.is_right(), a[W + nxl + 1:, :], hi))
+        if self.py > 1:
+            lo = _hshift(a[:, nyl: nyl + W + 1], h.axis_y, self.py, up=True)
+            hi = _hshift(a[:, W + 1: 2 * W + 2], h.axis_y, self.py,
+                         up=False)
+            a = a.at[:, : W + 1].set(
+                jnp.where(h.is_bottom(), a[:, : W + 1], lo))
+            a = a.at[:, W + nyl + 1:].set(
+                jnp.where(h.is_top(), a[:, W + nyl + 1:], hi))
+        return a
+
     def _local_step_pallas(self, F, u, v, p, even_step: bool):
+        """One step on the RESIDENT extended blocks: refresh the halo
+        bands in place, then the whole lean step as one windowed VMEM
+        kernel. The kernel writes the global-wall BC values itself
+        (_bc_values with global indices), so no XLA-level BC/exchange
+        follows — the next refresh revalidates the (eroded) halo from the
+        neighbors' owned cells."""
         from ..pallas_kernels import pallas_available
         from ..pallas_kernels.step_kernels import (
             pallas_fullstep_win, step_halo_width)
@@ -300,13 +411,10 @@ class Decomp:
         h = self.halo
         oi = h.xi() * self.nxl - W
         oj = h.yi() * self.nyl - W
-        ext = [self._widen(x, W) for x in (F, u, v, p)]
-        out = pallas_fullstep_win(
+        ext = [self._refresh_halo_2d(x, W) for x in (F, u, v, p)]
+        return pallas_fullstep_win(
             self.cfg, *ext, oi, oj, even_step,
             interpret=not pallas_available())
-        F, u, v, p = (x[W:-W, W:-W] for x in out)
-        ex = partial(exchange, h)
-        return ex(F), ex(u), ex(v), ex(p)
 
     def pallas_shard_supported(self) -> bool:
         """Whether the windowed kernel applies: the halo must come from the
@@ -318,7 +426,10 @@ class Decomp:
         from ..pallas_kernels.step_kernels import fits_vmem_2d
 
         W = step_halo_width(self.cfg)
-        if (self.px > 1 and self.nxl < W) or (self.py > 1 and self.nyl < W):
+        # each (W+1)-band halo refresh must come from ONE neighbor's
+        # owned cells
+        if (self.px > 1 and self.nxl < W + 1) or \
+                (self.py > 1 and self.nyl < W + 1):
             return False
         # the extended (wide-halo) block plays the role of the whole field:
         # pass its INTERIOR extents — fits_vmem_2d adds the ghost ring
@@ -333,14 +444,16 @@ class Decomp:
         """Jitted (state, n_steps static) -> state over blocked arrays."""
         spec = P(self.ax, self.ay)
 
-        if self.cfg.num.pressure_solver != "jacobi":
+        use_pallas = self.cfg.num.backend in ("pallas", "pallas_mono")
+        if use_pallas and self.cfg.num.pressure_solver != "jacobi":
             import warnings
 
             warnings.warn(
-                f"pressure_solver={self.cfg.num.pressure_solver!r} has no "
-                "distributed implementation; the sharded step runs the "
-                "reference's fixed-iteration Jacobi")
-        use_pallas = self.cfg.num.backend in ("pallas", "pallas_mono")
+                f"pressure_solver={self.cfg.num.pressure_solver!r} needs "
+                "the XLA per-shard engine (the windowed kernel implements "
+                "the fixed-iteration Jacobi, and its dependency cone is "
+                "sized for it); backend falls back to 'xla'")
+            use_pallas = False
         if use_pallas and not self.pallas_shard_supported():
             import warnings
 
@@ -376,6 +489,14 @@ class Decomp:
                 # inputs while the shards read the raw ghosts)
                 rho0, _ = mix_properties(self.cfg.fluid, F)
                 u, v, F, p, _ = self._bc(u, v, F, p, rho0)
+                if use_pallas:
+                    # widen to the resident extended layout ONCE, outside
+                    # the scan; slice back once after it
+                    from ..pallas_kernels.step_kernels import \
+                        step_halo_width
+
+                    W = step_halo_width(self.cfg)
+                    F, u, v, p = (self._widen(x, W) for x in (F, u, v, p))
 
                 def pair(carry, _):
                     F, u, v, p = carry
@@ -387,6 +508,8 @@ class Decomp:
                 (F, u, v, p), _ = lax.scan(pair, (F, u, v, p), None, length=n_pairs)
                 if rem:
                     F, u, v, p = local(F, u, v, p, even_step=even1)
+                if use_pallas:
+                    F, u, v, p = (x[W:-W, W:-W] for x in (F, u, v, p))
                 return F, u, v, p
 
             F, u, v, p = jax.shard_map(

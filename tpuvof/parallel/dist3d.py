@@ -67,17 +67,37 @@ class Decomp3D:
     """x-axis domain decomposition of a 3-D grid over a 1-axis mesh.
 
     backend='pallas' runs the whole per-shard step on the slab-tiled
-    kernels (pallas_kernels/step3d.py, jacobi3d.py) via the wide-halo
-    scheme the 2-D Decomp uses: ONE neighbor exchange of W = n_jacobi+12
-    planes per step, then the entire step on the extended local block with
-    global-index masks (the serial kernels are the gi_base=0 special case
-    of the same masks), keeping the fully-valid central planes. Requires
-    W <= nx/px (each halo comes from ONE neighbor) and even nx/px; falls
-    back to the XLA engine with a warning otherwise."""
+    kernels (pallas_kernels/step3d.py, jacobi3d.py) on a RESIDENT
+    wide-halo block (round-3 redesign; the round-2 engine re-widened and
+    re-sliced every step, two full state copies/step — git history):
+
+    - the scan carries the W-extended local block (nloc = nxl + 2W planes
+      + 2 block ghosts); widen once at entry, slice once at exit.
+    - each step starts with one in-place halo refresh: the (W+1) outer
+      planes per side are overwritten with the neighbor's owned planes
+      via `ppermute` + static-slice `.at[].set` (XLA updates in place —
+      no concatenate materialization). Edge shards keep their beyond-wall
+      planes, whose junk is inert under the kernels' global-index masks.
+    - W is the MINIMAL step dependency cone, n_jacobi + 4 (rhs is invalid
+      at the outermost computed plane; n_jacobi Jacobi passes erode one
+      plane/side each; correct reads p at i-1; the FCT x-sweep reads 3
+      planes), rounded up so nloc is a slab-chunk multiple — vs the
+      round-2 engine's conservative n_jacobi + 12. The validity induction:
+      post-refresh every block plane holds current global data, so final
+      F is serial-valid on [5+n_jacobi, nloc-n_jacobi-3] ⊇ the owned
+      planes iff W >= n_jacobi+4; u/v/w/p need less; the next refresh
+      re-validates the halo from the neighbors' owned planes.
+    - the serial kernels are the gi_base=0 special case of the same
+      global masks; at px=1 the refresh is a no-op and the trajectory is
+      BIT-identical to the serial pallas path (tests_tpu).
+
+    Requires even nx/px >= W+1 (each halo comes from ONE neighbor) and
+    the extended pressure volume VMEM-resident; falls back to the XLA
+    engine with a warning otherwise."""
 
     def __init__(self, g: Grid3D, mesh: Mesh, fl: Fluid | None = None,
                  dt: float = 4e-6, n_jacobi: int = 10,
-                 backend: str = "xla"):
+                 backend: str = "xla", halo_width: int | None = None):
         if len(mesh.axis_names) != 1:
             raise ValueError("Decomp3D expects a 1-axis mesh (x slabs)")
         self.g = g
@@ -92,17 +112,26 @@ class Decomp3D:
         self.n_jacobi = n_jacobi
         self.backend = backend
         if backend == "pallas":
-            W = n_jacobi + 12
-            # nxl + 2W must be a slab-chunk multiple; 2W only shifts the
-            # residue by even amounts, so odd nxl can never satisfy it
-            # (checked first: the rounding loop would not terminate)
+            # minimal cone (see class docstring); halo_width overrides for
+            # A/B benchmarking only
+            W = halo_width if halo_width is not None else n_jacobi + 4
+            # nxl + 2W must be a slab-chunk multiple (B in {8,4,2} with
+            # >= 3 chunks; B=8 vs 4 measured as noise, BASELINE.md); 2W
+            # only shifts the residue by even amounts, so odd nxl can
+            # never satisfy it (checked first: the rounding loop would
+            # not terminate)
             ok = self.nxl % 2 == 0
             if ok:
-                while (self.nxl + 2 * W) % 8:
+                from ..pallas_kernels.step3d import _pick_chunk as _spick
+
+                while (self.nxl + 2 * W) % 4 or \
+                        _spick(self.nxl + 2 * W) is None:
                     W += 1
             self.W = W
             self.nloc = self.nxl + 2 * W
-            ok = ok and W <= self.nxl
+            # each (W+1)-plane halo must come from ONE neighbor's owned
+            # planes
+            ok = ok and W + 1 <= self.nxl
             if ok:
                 from ..pallas_kernels.jacobi3d import _pick_chunk as _jpick
 
@@ -111,7 +140,7 @@ class Decomp3D:
                 import warnings
 
                 warnings.warn(
-                    f"Decomp3D backend='pallas' needs even nx/px >= "
+                    f"Decomp3D backend='pallas' needs even nx/px > "
                     f"W={W} (nx/px={self.nxl}) and the extended pressure "
                     "volume VMEM-resident; using the XLA engine.")
                 self.backend = "xla"
@@ -287,14 +316,14 @@ class Decomp3D:
         u, v, w, F, p = self._bc(u, v, w, F, p)
         return F, u, v, w, p
 
-    # ---- wide-halo pallas engine (backend='pallas') ----
+    # ---- resident wide-halo pallas engine (backend='pallas') ----
     def _widen_W(self, a):
-        """[lo(W), a, hi(W)] along axis 0. a's own ghost planes stay in
-        place: for interior shards they hold REAL neighbor plane values
-        (the previous step's extraction keeps the fully-valid planes
-        adjacent to the center), for edge shards the wall mirrors. lo/hi
-        ship the next W planes outward from the neighbors; zeros beyond
-        the walls are inert under the kernels' global-index masks."""
+        """Entry layout conversion (ONCE per simulate call, outside the
+        scan): [lo(W), a, hi(W)] along axis 0. a's own ghost planes stay
+        in place mid-block: for interior shards they hold REAL neighbor
+        plane values, for edge shards the wall mirrors. lo/hi ship the
+        next W planes outward from the neighbors; zeros beyond the walls
+        are inert under the kernels' global-index masks."""
         W, nxl = self.W, self.nxl
         if self.px == 1:
             z = jnp.zeros((W,) + a.shape[1:], a.dtype)
@@ -306,12 +335,33 @@ class Decomp3D:
         hi = jnp.where(self._is_right(), zero, hi)
         return jnp.concatenate([lo, a, hi], axis=0)
 
+    def _refresh_halo(self, a):
+        """In-place halo refresh on a resident extended block: overwrite
+        the (W+1) outermost planes per side with the neighbor's owned
+        planes (static-slice .at[].set — XLA applies it as an in-place
+        dynamic-update-slice; no whole-block concatenate). Shard s's low
+        halo [0, W] holds global planes [s*nxl - W, s*nxl] = the LAST
+        W+1 owned planes of shard s-1, which live at its block indices
+        [nxl, nxl+W]; symmetrically for the high side. Edge shards keep
+        their beyond-wall junk (inert under the global-index masks)."""
+        if self.px == 1:
+            return a
+        W, nxl = self.W, self.nxl
+        lo = _shift_x(a[nxl: nxl + W + 1], self.ax, self.px, up=True)
+        hi = _shift_x(a[W + 1: 2 * W + 2], self.ax, self.px, up=False)
+        a = a.at[: W + 1].set(
+            jnp.where(self._is_left(), a[: W + 1], lo))
+        a = a.at[W + nxl + 1:].set(
+            jnp.where(self._is_right(), a[W + nxl + 1:], hi))
+        return a
+
     def _local_step_pallas(self, F, u, v, w, p, phase: int):
-        """One step on jk-PADDED local blocks: ONE W-plane exchange, the
-        whole step on the extended block via the serial slab kernels with
-        (nloc, gi_base) set to the shard's window, then keep the central
-        planes. The serial step is the px=1/gi_base=-W special case up to
-        the sacrificial halo."""
+        """One step on the RESIDENT jk-padded extended blocks: refresh the
+        halos in place, then the whole step via the serial slab kernels
+        with (nloc, gi_base) set to the shard's window. The serial step is
+        the px=1/gi_base=-W special case up to the sacrificial halo. The
+        only non-kernel work per step: the ppermute refresh (px>1) and the
+        two masked wall-mirror plane writes on F."""
         import jax as _jax
 
         from ..pallas_kernels.jacobi3d import pallas_jacobi_3d
@@ -325,7 +375,8 @@ class Decomp3D:
         g, W, nloc, nxl = self.g, self.W, self.nloc, self.nxl
         gi_base = self._xi() * nxl - W
 
-        Fx, ux, vx, wx, pxx = (self._widen_W(a) for a in (F, u, v, w, p))
+        Fx, ux, vx, wx, pxx = (self._refresh_halo(a)
+                               for a in (F, u, v, w, p))
         us, vs, ws, rhs = pallas_predict3d_rhs(
             g, self.fl, self.dt, ux, vx, wx, Fx,
             interpret=interpret, nloc=nloc, gi_base=gi_base)
@@ -341,15 +392,14 @@ class Decomp3D:
             Fo = pallas_fct3d_sweep(
                 g, self.dt, Fo, vels[axn], axn, interpret=interpret,
                 mirror_out=(idx == 2), nloc=nloc, gi_base=gi_base)
-        sl = slice(W, W + nxl + 2)
-        F, u, v, w, p = Fo[sl], uo[sl], vo[sl], wo[sl], pj[sl]
-        # global-wall F ghost planes sat mid-block during the wide-halo
-        # run (the in-plane sweeps processed them); restore the fresh
-        # mirror the serial mirror_out writes — the stale-mirror feed the
-        # next step's sweeps depend on
-        F = F.at[0].set(jnp.where(self._is_left(), F[1], F[0]))
-        F = F.at[-1].set(jnp.where(self._is_right(), F[-2], F[-1]))
-        return F, u, v, w, p
+        # global-wall F ghost planes sit mid-block (the in-plane sweeps
+        # processed them); restore the fresh mirror the serial mirror_out
+        # writes — the stale-mirror feed the next step's sweeps depend on
+        Fo = Fo.at[W].set(
+            jnp.where(self._is_left(), Fo[W + 1], Fo[W]))
+        Fo = Fo.at[W + nxl + 1].set(
+            jnp.where(self._is_right(), Fo[W + nxl], Fo[W + nxl + 1]))
+        return Fo, uo, vo, wo, pj
 
     # ---- host-side layout conversion ----
     def scatter_state(self, state: State3D) -> State3D:
@@ -398,7 +448,8 @@ class Decomp3D:
             def body(F, u, v, w, p):
                 if use_pallas:
                     # entry BC + exchange (first step's pre-sweep mirrors,
-                    # cf. solver3d.simulate_3d), then jk-pad once
+                    # cf. solver3d.simulate_3d), then jk-pad and widen to
+                    # the resident extended layout ONCE, outside the scan
                     u, v, w, F, p = self._bc(u, v, w, F, p)
                     from ..solver3d import _pad_jk
 
@@ -406,6 +457,8 @@ class Decomp3D:
                     F, u, v, w, p = (
                         jnp.pad(a, ((0, 0), (0, pj), (0, pk)))
                         for a in (F, u, v, w, p))
+                    F, u, v, w, p = (
+                        self._widen_W(a) for a in (F, u, v, w, p))
                     step = self._local_step_pallas
                 else:
                     step = self._local_step
@@ -422,8 +475,11 @@ class Decomp3D:
                 for r in range(rem):
                     carry = step(*carry, (ph1 + r) % 3)
                 if use_pallas:
+                    # slice the resident extended block back to the narrow
+                    # local layout ONCE (center nxl planes + block ghosts)
+                    sl = slice(self.W, self.W + self.nxl + 2)
                     n1p, n2p = self.g.ny + 2, self.g.nz + 2
-                    F, u, v, w, p = (a[:, :n1p, :n2p] for a in carry)
+                    F, u, v, w, p = (a[sl, :n1p, :n2p] for a in carry)
                     # exit BC: u/v/w/p ghost parity of the returned state
                     u, v, w, F, p = self._bc(u, v, w, F, p)
                     carry = (F, u, v, w, p)

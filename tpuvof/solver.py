@@ -63,9 +63,12 @@ def step(cfg: SimConfig, state: State, even_step: bool, lean: bool = False) -> S
     reference pipeline), while 'pallas_mono' applies BC at entry and runs
     the lean step (the canonical simulate() semantics) — deterministic,
     but a different off-spec trajectory."""
-    if cfg.num.backend in ("pallas", "pallas_mono") and not _fits_vmem(cfg):
-        # whole-field VMEM residency is the kernels' design envelope;
-        # larger grids use the XLA path (same numbers) — warn once so a
+    if cfg.num.backend in ("pallas", "pallas_mono") and (
+            not _fits_vmem(cfg) or cfg.num.pressure_solver != "jacobi"):
+        # whole-field VMEM residency is the kernels' design envelope, and
+        # the fused kernels implement the reference's fixed-iteration
+        # Jacobi only (a residual-driven while_loop cannot live inside
+        # the VMEM kernel); both cases use the XLA path — warn once so a
         # user who asked for the fused kernels knows what actually ran
         _warn_vmem_fallback(cfg)
     elif cfg.num.backend == "pallas":
@@ -119,23 +122,29 @@ def _warn_vmem_fallback(cfg: SimConfig) -> None:
     import warnings
 
     g = cfg.grid
-    key = (g.nx, g.ny, cfg.num.backend)
+    key = (g.nx, g.ny, cfg.num.backend, cfg.num.pressure_solver)
     if key in _warned_fallback:
         return
     _warned_fallback.add(key)
+    if cfg.num.pressure_solver != "jacobi":
+        why = (f"the fused kernels implement the fixed-iteration Jacobi "
+               f"solve only (pressure_solver="
+               f"{cfg.num.pressure_solver!r} requested)")
+    else:
+        why = ("the fused kernels' whole-field working set exceeds the "
+               "v5e VMEM envelope (~24 padded fields <= 124 MB, i.e. "
+               "grids up to ~1024^2 f32)")
     warnings.warn(
-        f"backend={cfg.num.backend!r} requested at {g.nx}x{g.ny}, but the "
-        "fused kernels' whole-field working set exceeds the v5e VMEM "
-        "envelope (~24 padded fields <= 124 MB, i.e. grids up to ~1024^2 "
-        "f32); falling back to the XLA path (identical numerics, ~2x "
-        "slower).",
+        f"backend={cfg.num.backend!r} requested at {g.nx}x{g.ny}, but "
+        + why + "; falling back to the XLA path.",
         stacklevel=3,
     )
 
 
 def effective_backend(cfg: SimConfig) -> str:
     """The backend `step` will actually use for this config."""
-    if cfg.num.backend in ("pallas", "pallas_mono") and not _fits_vmem(cfg):
+    if cfg.num.backend in ("pallas", "pallas_mono") and (
+            not _fits_vmem(cfg) or cfg.num.pressure_solver != "jacobi"):
         return "xla"
     return cfg.num.backend
 
