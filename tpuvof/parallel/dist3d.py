@@ -124,9 +124,20 @@ class Decomp3D:
             if ok:
                 from ..pallas_kernels.step3d import _pick_chunk as _spick
 
-                while (self.nxl + 2 * W) % 4 or \
-                        _spick(self.nxl + 2 * W) is None:
-                    W += 1
+                def round_W(W, mod):
+                    while (self.nxl + 2 * W) % mod or \
+                            _spick(self.nxl + 2 * W) is None:
+                        W += 1
+                    return W
+
+                # prefer B=8 slabs: measured 1.888e9 vs 1.760e9 CUPS at
+                # 200^3 1x1 for W=16/nloc=232 (B=8) vs W=14/nloc=228
+                # (B=4) — fewer, larger DMAs win even with more
+                # redundant planes (scripts/tpu_dist3d_ab.py). Fall back
+                # to B=4 rounding when the extra planes would push W
+                # past the one-neighbor limit.
+                W8 = round_W(W, 8)
+                W = W8 if W8 + 1 <= self.nxl else round_W(W, 4)
             self.W = W
             self.nloc = self.nxl + 2 * W
             # each (W+1)-plane halo must come from ONE neighbor's owned
