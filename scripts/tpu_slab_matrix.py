@@ -240,9 +240,9 @@ if os.environ.get("PACKED"):
 def _sepsem_kernel(*refs, n_in, n_out, B, depth, nloc):
     ins = refs[:n_in]
     outs = refs[n_in:n_in + n_out]
-    bufs = refs[n_in + n_out:n_in + n_out + n_in]
-    obufs = refs[n_in + n_out + n_in:n_in + 2 * n_out + 2 * n_in]
-    sems = refs[n_in + 2 * n_out + 2 * n_in:]
+    bufs = refs[n_in + n_out:2 * n_in + n_out]
+    obufs = refs[2 * n_in + n_out:2 * (n_in + n_out)]
+    sems = refs[2 * (n_in + n_out):]
     nc = nloc // B
 
     def in_dma(slot, c, i):
@@ -318,8 +318,10 @@ def make_sepsem(n_in, n_out, B, depth):
 
 
 base = None
-for n_in, n_out in ((5, 3), (1, 1), (2, 2), (2, 1), (4, 4), (4, 2),
-                    (3, 1), (4, 1), (6, 2), (8, 1)):
+MIXES = (((5, 3), (2, 2)) if os.environ.get("SEPSEM_ONLY") else
+         ((5, 3), (1, 1), (2, 2), (2, 1), (4, 4), (4, 2),
+          (3, 1), (4, 1), (6, 2), (8, 1)))
+for n_in, n_out in MIXES:
     carry = tuple(x + i * 1e-3 for i in range(max(n_in, n_out)))
     # full (B, depth) sweep recorded 2026-08-17: B=8 d=2 wins for every
     # stream mix (B>=40 pays pipeline fill/drain, d=4 never helps); keep

@@ -32,5 +32,6 @@ from .state import (
     find_area,
 )
 from .solver import step, step_pair, simulate, make_step_fn
+from .solver3d import step_3d, simulate_3d
 
 __version__ = "0.1.0"
