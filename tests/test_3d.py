@@ -110,68 +110,6 @@ def test_pallas_jacobi3d_matches_xla():
     assert float(jnp.abs(got[0]).max()) == 0.0  # ghost ring zeroed
 
 
-def test_pallas_jacobi_correct_fused_is_bit_identical():
-    """The fused Jacobi+correction kernel must reproduce
-    pallas_jacobi_3d followed by pallas_correct3d BITWISE (identical
-    arithmetic; only the transport of p changes), including under a
-    distributed-style (nloc, gi_base) window."""
-    from tpuvof.config import Fluid
-    from tpuvof.pallas_kernels.jacobi3d import (
-        jacobi_correct_supported,
-        pallas_jacobi_3d,
-        pallas_jacobi_correct_3d,
-    )
-    from tpuvof.pallas_kernels.step3d import pallas_correct3d
-
-    fl = Fluid()
-    rng = np.random.default_rng(1)
-    g = Grid3D(10, 10, 10)
-    assert jacobi_correct_supported(g)
-    shape = g.shape
-    mk = lambda s: jnp.asarray(rng.normal(0, s, shape), jnp.float64)  # noqa: E731
-    p, us, vs, ws = mk(10), mk(1e-3), mk(1e-3), mk(1e-3)
-    F = jnp.asarray(rng.uniform(0, 1, shape), jnp.float64)
-    rhs_np = rng.normal(0, 1.0, shape)
-    rhs_np[0] = rhs_np[-1] = 0.0
-    rhs_np[:, 0] = rhs_np[:, -1] = 0.0
-    rhs_np[:, :, 0] = rhs_np[:, :, -1] = 0.0
-    rhs = jnp.asarray(rhs_np)
-
-    pw = pallas_jacobi_3d(g, 10, p, rhs, interpret=True)
-    uw, vw, ww = pallas_correct3d(g, fl, 4e-6, us, vs, ws, pw, F,
-                                  interpret=True)
-    pg, ug, vg, wg = pallas_jacobi_correct_3d(
-        g, fl, 4e-6, 10, p, rhs, us, vs, ws, F, interpret=True)
-    for got, want in ((pg, pw), (ug, uw), (vg, vw), (wg, ww)):
-        assert float(jnp.abs(got - want).max()) == 0.0
-
-    # windowed (distributed wide-halo) form: nloc planes, shard offset.
-    # nloc=12 makes BOTH paths pick chunk B=4 — chunk size must match for
-    # bitwise comparison because XLA:CPU's FMA contraction is
-    # shape-dependent (B=8 vs B=4 plain-jacobi outputs differ by 1 ulp)
-    g = Grid3D(16, 16, 16)
-    shape = g.shape
-    p, us, vs, ws = mk(10), mk(1e-3), mk(1e-3), mk(1e-3)
-    F = jnp.asarray(rng.uniform(0, 1, shape), jnp.float64)
-    rhs_np = rng.normal(0, 1.0, shape)
-    rhs_np[0] = rhs_np[-1] = 0.0
-    rhs_np[:, 0] = rhs_np[:, -1] = 0.0
-    rhs_np[:, :, 0] = rhs_np[:, :, -1] = 0.0
-    rhs = jnp.asarray(rhs_np)
-    nloc, gi0 = 12, 2
-    win = lambda a: a[gi0:gi0 + nloc + 2]  # noqa: E731
-    pw2 = pallas_jacobi_3d(g, 3, win(p), win(rhs), interpret=True,
-                           nloc=nloc, gi_base=gi0)
-    uw2, vw2, ww2 = pallas_correct3d(
-        g, fl, 4e-6, win(us), win(vs), win(ws), pw2, win(F),
-        interpret=True, nloc=nloc, gi_base=gi0)
-    pg2, ug2, vg2, wg2 = pallas_jacobi_correct_3d(
-        g, fl, 4e-6, 3, win(p), win(rhs), win(us), win(vs), win(ws),
-        win(F), interpret=True, nloc=nloc, gi_base=gi0)
-    for got, want in ((pg2, pw2), (ug2, uw2), (vg2, vw2), (wg2, ww2)):
-        assert float(jnp.abs(got - want).max()) == 0.0
-
-
 def test_pallas_3d_trajectory_matches_spec():
     """Full 3-D steps on the slab kernel pipeline (interpret mode) still
     match the loop spec — ghost-zero Jacobi, zeroed-then-BC'd correction

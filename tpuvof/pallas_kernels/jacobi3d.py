@@ -43,12 +43,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import Fluid
 from ..grid import Grid3D
-from ..ops import mix_properties
 
-__all__ = ["jacobi3d_fits_vmem", "pallas_jacobi_3d",
-           "jacobi_correct_supported", "pallas_jacobi_correct_3d"]
+__all__ = ["jacobi3d_fits_vmem", "pallas_jacobi_3d"]
 
 
 def _padded_dims(g: Grid3D):
@@ -86,21 +83,8 @@ def jacobi3d_fits_vmem(g: Grid3D) -> bool:
     return _pick_chunk(g.nx, g) is not None
 
 
-def _kernel(p_ref, rhs_ref, gib, *rest,
-            g: Grid3D, n_iter: int, B: int, nloc: int,
-            fl: Fluid | None = None, dt=None, Bc: int | None = None):
-    if fl is None:
-        out_ref, wplane, rhs_buf, sem = rest
-    else:
-        # fused velocity correction (VERDICT r2 #3 "correct-into-Jacobi
-        # merge"): after the iterations, stream us/vs/ws/F through and
-        # write the corrected u/v/w, reading p straight from the resident
-        # volume — the standalone correct3d kernel's p input stream (and
-        # its HBM round trip for p) disappears, and chunk 0/1's inputs
-        # prefetch during the iterations
-        (us_h, vs_h, ws_h, F_h, out_ref, u_h, v_h, w_h,
-         wplane, rhs_buf, sem,
-         usb, vsb, wsb, Fb, ub, vb, wb, zplane, csems, osems) = rest
+def _kernel(p_ref, rhs_ref, gib, out_ref, wplane, rhs_buf, sem,
+            *, g: Grid3D, n_iter: int, B: int, nloc: int):
     # rhs_buf has two slots: chunk c+1's rhs DMA is issued before chunk c's
     # compute, hiding the 250 per-chunk-per-iteration HBM waits that
     # serialized the round-1 kernel.
@@ -235,117 +219,7 @@ def _kernel(p_ref, rhs_ref, gib, *rest,
         lax.fori_loop(0, nc, chunk_body, 0)
         return carry
 
-    if fl is not None:
-        # correction input/output DMA plumbing (the proven _correct_kernel
-        # scheme: chunk c+1 into the other slot at top of body); chunk 0's
-        # inputs are issued BEFORE the iterations so they land during the
-        # Jacobi compute
-        E1 = Bc + 1
-        ncc = nloc // Bc
-        cins = ((us_h, usb, 0, Bc), (vs_h, vsb, 0, Bc),
-                (ws_h, wsb, 0, Bc), (F_h, Fb, -1, E1))
-        couts = ((ub, u_h), (vb, v_h), (wb, w_h))
-
-        def cin_dma(slot, c, i):
-            h, b, d0, n = cins[i]
-            return pltpu.make_async_copy(
-                h.at[pl.ds(1 + c * Bc + d0, n)],
-                b.at[pl.ds(slot * n, n)],
-                csems.at[slot * 4 + i])
-
-        def cout_dma(slot, c, i):
-            b, h = couts[i]
-            return pltpu.make_async_copy(
-                b.at[pl.ds(slot * Bc, Bc)],
-                h.at[pl.ds(1 + c * Bc, Bc)],
-                osems.at[slot * 3 + i])
-
-        for i in range(4):
-            cin_dma(0, 0, i).start()
-
     lax.fori_loop(0, n_iter, iter_body, 0)
-
-    if fl is not None:
-        dxi = jnp.asarray(g.dxi, dtype)
-        dyi = jnp.asarray(g.dyi, dtype)
-        dzi = jnp.asarray(g.dzi, dtype)
-
-        def _shjk(x, dj=0, dk=0):
-            if dj:
-                x = jnp.roll(x, -dj, axis=1)
-            if dk:
-                x = jnp.roll(x, -dk, axis=2)
-            return x
-
-        def cbody(c, _):
-            i0 = 1 + c * Bc
-            slot = lax.rem(c, 2)
-
-            @pl.when(c + 1 < ncc)
-            def _():
-                for i in range(4):
-                    cin_dma(lax.rem(c + 1, 2), c + 1, i).start()
-
-            for i in range(4):
-                cin_dma(slot, c, i).wait()
-
-            rho, _ = mix_properties(fl, Fb[pl.ds(slot * E1, E1)])
-            p_ext = out_ref[pl.ds(i0 - 1, Bc + 1)]
-            p_c = lax.slice_in_dim(p_ext, 1, Bc + 1, axis=0)
-            p_w = lax.slice_in_dim(p_ext, 0, Bc, axis=0)
-            r_c = lax.slice_in_dim(rho, 1, Bc + 1, axis=0)
-            r_w = lax.slice_in_dim(rho, 0, Bc, axis=0)
-
-            shp = p_c.shape
-            gi = lax.broadcasted_iota(jnp.int32, shp, 0) + i0 + gi_base
-            jj = lax.broadcasted_iota(jnp.int32, shp, 1)
-            kk = lax.broadcasted_iota(jnp.int32, shp, 2)
-            j_int = (jj >= 1) & (jj <= g.ny)
-            k_int = (kk >= 1) & (kk <= g.nz)
-            i_int = (gi >= 1) & (gi <= g.nx)
-
-            sB = slot * Bc
-            uu = usb[pl.ds(sB, Bc)] - dt / ((r_c + r_w) * 0.5) * (
-                p_c - p_w) * dxi
-            vv = vsb[pl.ds(sB, Bc)] - dt / (
-                (r_c + _shjk(r_c, -1, 0)) * 0.5) * (
-                p_c - _shjk(p_c, -1, 0)) * dyi
-            ww = wsb[pl.ds(sB, Bc)] - dt / (
-                (r_c + _shjk(r_c, 0, -1)) * 0.5) * (
-                p_c - _shjk(p_c, 0, -1)) * dzi
-
-            @pl.when(c >= 2)
-            def _():
-                for i in range(3):
-                    cout_dma(slot, c - 2, i).wait()
-
-            ub[pl.ds(sB, Bc)] = jnp.where(
-                (gi >= 2) & (gi <= g.nx) & j_int & k_int, uu, 0.0)
-            vb[pl.ds(sB, Bc)] = jnp.where(
-                i_int & (jj >= 2) & (jj <= g.ny) & k_int, vv, 0.0)
-            wb[pl.ds(sB, Bc)] = jnp.where(
-                i_int & j_int & (kk >= 2) & (kk <= g.nz), ww, 0.0)
-
-            for i in range(3):
-                cout_dma(slot, c, i).start()
-            return 0
-
-        lax.fori_loop(0, ncc, cbody, 0)
-        for c in (ncc - 2, ncc - 1):
-            for i in range(3):
-                cout_dma(c % 2, c, i).wait()
-
-        zplane[:] = jnp.zeros_like(zplane)
-        gz = []
-        for i, h in enumerate((u_h, v_h, w_h)):
-            gz.append(pltpu.make_async_copy(
-                zplane, h.at[pl.ds(0, 1)], csems.at[i]))
-            gz.append(pltpu.make_async_copy(
-                zplane, h.at[pl.ds(nloc + 1, 1)], osems.at[i]))
-        for d in gz:
-            d.start()
-        for d in gz:
-            d.wait()
 
 
 def pallas_jacobi_3d(g: Grid3D, n_iter: int, p, rhs, interpret: bool = False,
@@ -377,78 +251,3 @@ def pallas_jacobi_3d(g: Grid3D, n_iter: int, p, rhs, interpret: bool = False,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=124 * 2**20),
         interpret=interpret,
     )(p, rhs, jnp.atleast_1d(jnp.asarray(gi_base, jnp.int32)))
-
-
-def _correct_extra_bytes(Bc: int, n1p: int, n2p: int) -> int:
-    """VMEM added by the fused correction tail: 6 double-buffered Bc-plane
-    blocks (us/vs/ws in, u/v/w staging), one (Bc+1)-plane F block pair, and
-    the zero plane."""
-    return (6 * 2 * Bc + 2 * (Bc + 1) + 1) * n1p * n2p * 4
-
-
-def _pick_chunk_correct(nloc: int) -> int | None:
-    """The correction tail's chunk size — step3d._pick_chunk's exact rule,
-    so the tail's block shapes (and therefore XLA/Mosaic FMA contraction)
-    match the standalone pallas_correct3d bit-for-bit."""
-    from .step3d import _pick_chunk as _sp
-
-    return _sp(nloc)
-
-
-def jacobi_correct_supported(g: Grid3D, nloc: int | None = None) -> bool:
-    if nloc is None:
-        nloc = g.nx
-    B = _pick_chunk(nloc, g, nloc)
-    Bc = _pick_chunk_correct(nloc)
-    if B is None or Bc is None:
-        return False
-    _, n1, n2 = _padded_dims(g)
-    return (_vmem_need(g, B, nloc) + _correct_extra_bytes(Bc, n1, n2)
-            <= 120 * 2**20)
-
-
-def pallas_jacobi_correct_3d(g: Grid3D, fl: Fluid, dt, n_iter: int,
-                             p, rhs, us, vs, ws, F,
-                             interpret: bool = False,
-                             nloc: int | None = None, gi_base: int = 0):
-    """Fused Jacobi + velocity correction: the n_iter pressure iterations
-    on the VMEM-resident p, then the correct3d update (step3d.py's
-    _correct_kernel math, reference 3dvof.py:286-302) streamed through the
-    same kernel — p never round-trips HBM between the phases and the
-    correction runs 7 HBM streams instead of 8. Returns (p, u, v, w),
-    bit-identical to pallas_jacobi_3d followed by pallas_correct3d (the
-    arithmetic is untouched; pinned by tests/test_3d.py)."""
-    if nloc is None:
-        nloc = g.nx
-    B = _pick_chunk(nloc, g, nloc)
-    Bc = _pick_chunk_correct(nloc)
-    n1p, n2p = p.shape[1], p.shape[2]
-    sh = jax.ShapeDtypeStruct(p.shape, p.dtype)
-    blk = lambda n: pltpu.VMEM((n, n1p, n2p), p.dtype)  # noqa: E731
-    hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
-    return pl.pallas_call(
-        partial(_kernel, g=g, n_iter=n_iter, B=B, nloc=nloc, fl=fl, dt=dt,
-                Bc=Bc),
-        out_shape=(sh,) * 4,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            hbm,
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
-            hbm, hbm, hbm, hbm,
-        ],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM), hbm, hbm, hbm),
-        scratch_shapes=[
-            pltpu.VMEM((1, n1p, n2p), p.dtype),       # wplane
-            pltpu.VMEM((2, B, n1p, n2p), p.dtype),    # rhs_buf
-            pltpu.SemaphoreType.DMA((2,)),            # sem
-            blk(2 * Bc), blk(2 * Bc), blk(2 * Bc),    # usb/vsb/wsb
-            blk(2 * (Bc + 1)),                        # Fb
-            blk(2 * Bc), blk(2 * Bc), blk(2 * Bc),    # ub/vb/wb
-            blk(1),                                   # zplane
-            pltpu.SemaphoreType.DMA((8,)),            # csems
-            pltpu.SemaphoreType.DMA((6,)),            # osems
-        ],
-        input_output_aliases={0: 0},
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=124 * 2**20),
-        interpret=interpret,
-    )(p, rhs, jnp.atleast_1d(jnp.asarray(gi_base, jnp.int32)), us, vs, ws, F)

@@ -391,22 +391,12 @@ class Decomp3D:
         us, vs, ws, rhs = pallas_predict3d_rhs(
             g, self.fl, self.dt, ux, vx, wx, Fx,
             interpret=interpret, nloc=nloc, gi_base=gi_base)
-        from ..pallas_kernels.jacobi3d import (
-            jacobi_correct_supported,
-            pallas_jacobi_correct_3d,
-        )
-
-        if jacobi_correct_supported(g, nloc):
-            pj, uo, vo, wo = pallas_jacobi_correct_3d(
-                g, self.fl, self.dt, self.n_jacobi, pxx, rhs, us, vs, ws,
-                Fx, interpret=interpret, nloc=nloc, gi_base=gi_base)
-        else:
-            pj = pallas_jacobi_3d(
-                g, self.n_jacobi, pxx, rhs,
-                interpret=interpret, nloc=nloc, gi_base=gi_base)
-            uo, vo, wo = pallas_correct3d(
-                g, self.fl, self.dt, us, vs, ws, pj, Fx,
-                interpret=interpret, nloc=nloc, gi_base=gi_base)
+        pj = pallas_jacobi_3d(
+            g, self.n_jacobi, pxx, rhs,
+            interpret=interpret, nloc=nloc, gi_base=gi_base)
+        uo, vo, wo = pallas_correct3d(
+            g, self.fl, self.dt, us, vs, ws, pj, Fx,
+            interpret=interpret, nloc=nloc, gi_base=gi_base)
         vels = (uo, vo, wo)
         Fo = Fx
         for idx, axn in enumerate(_SWEEP_ORDER3[phase]):

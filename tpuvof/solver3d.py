@@ -185,11 +185,7 @@ def _step_3d_pallas_padded(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
         pallas_fct3d_sweep,
         pallas_predict3d_rhs,
     )
-    from .pallas_kernels.jacobi3d import (
-        jacobi_correct_supported,
-        pallas_jacobi_3d,
-        pallas_jacobi_correct_3d,
-    )
+    from .pallas_kernels.jacobi3d import pallas_jacobi_3d
 
     interpret = _jax.default_backend() == "cpu"
     F, u, v, w, p = state
@@ -197,13 +193,9 @@ def _step_3d_pallas_padded(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
     us, vs, ws, rhs = pallas_predict3d_rhs(
         g, fl, dt, u, v, w, F, interpret=interpret
     )
-    if jacobi_correct_supported(g):
-        p, u, v, w = pallas_jacobi_correct_3d(
-            g, fl, dt, n_jacobi, p, rhs, us, vs, ws, F, interpret=interpret)
-    else:
-        p = pallas_jacobi_3d(g, n_jacobi, p, rhs, interpret=interpret)
-        u, v, w = pallas_correct3d(g, fl, dt, us, vs, ws, p, F,
-                                   interpret=interpret)
+    p = pallas_jacobi_3d(g, n_jacobi, p, rhs, interpret=interpret)
+    u, v, w = pallas_correct3d(g, fl, dt, us, vs, ws, p, F,
+                               interpret=interpret)
     vels = (u, v, w)
     order = _SWEEP_ORDER[phase]
     for idx, ax in enumerate(order):
