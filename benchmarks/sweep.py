@@ -70,7 +70,9 @@ def main():
     import tpuvof as tv
 
     on_tpu = jax.default_backend() != "cpu"
-    grids_2d = [256, 512] if args.quick else [256, 512, 1024]
+    # 2048^2 exceeds the whole-field VMEM envelope: pallas_mono routes to
+    # the tiled engine there (effective backend 'pallas_tiled')
+    grids_2d = [256, 512] if args.quick else [256, 512, 1024, 2048]
     grids_3d = [128] if args.quick else [128, 200]
     backends_2d = ["xla"] + (["pallas", "pallas_mono"] if on_tpu else [])
     backends_3d = ["xla"] + (["pallas"] if on_tpu else [])

@@ -67,3 +67,66 @@ def test_fullstep_mono_kernel_matches_lean_step(setup):
         for name, x, y in zip(("F", "u", "v", "p"), a, b):
             np.testing.assert_allclose(
                 np.asarray(x), np.asarray(y), atol=tol[name], err_msg=name)
+
+
+def test_tiled_step_matches_mono_every_tile_size():
+    """The tiled engine (solver._step_pallas_tiled) must reproduce the
+    mono kernel to FMA-contraction noise for every tile layout, both
+    parities — including T < W (the halo is sliced from the current
+    state, not exchanged, so unlike a distributed shard a tile may be
+    narrower than the dependency cone) and the single-tile T=nx case."""
+    import jax
+
+    from tpuvof.ops import apply_bc
+    from tpuvof.solver import _step_pallas_mono, _step_pallas_tiled
+
+    cfg = tv.SimConfig(grid=tv.Grid2D(64, 64))
+    state = tv.simulate(cfg, tv.init_state(cfg, ic=1), 6)
+    state = tv.State(*[a.astype(jnp.float64) for a in state])
+    u, v, F, p = apply_bc(state.u, state.v, state.F, state.p)
+    state = tv.State(F=F, u=u, v=v, p=p)
+    for parity in (False, True):
+        want = _step_pallas_mono(cfg, state, parity, interpret=True)
+        for T in (16, 32, 64):
+            got = _step_pallas_tiled(cfg, state, parity, tile=T,
+                                     interpret=True)
+            for name, x, y in zip(("F", "u", "v", "p"), got, want):
+                np.testing.assert_allclose(
+                    np.asarray(x), np.asarray(y), atol=1e-13,
+                    err_msg=f"{name} T={T} parity={parity}")
+
+
+def test_tiled_trajectory_via_public_api():
+    """backend='pallas_tiled' through simulate(): multi-step trajectory
+    (odd step count exercises the remainder branch) matches pallas_mono
+    at f64."""
+    cfg_m = tv.SimConfig(grid=tv.Grid2D(64, 64),
+                         num=tv.Numerics(backend="pallas_mono"))
+    cfg_t = cfg_m.replace(num=tv.Numerics(backend="pallas_tiled"))
+    s0 = tv.State(*[a.astype(jnp.float64)
+                    for a in tv.init_state(cfg_m, ic=1)])
+    a = tv.simulate(cfg_m, s0, 21)
+    b = tv.simulate(cfg_t, s0, 21)
+    for name, x, y in zip(("F", "u", "v", "p"), a, b):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=1e-12, err_msg=name)
+
+
+def test_tiled_backend_routing():
+    """pallas_mono auto-upgrades to the tiled engine beyond the VMEM
+    envelope (instead of the XLA fallback), and degrades to XLA only
+    when no tile divides the grid or the pressure solver is not the
+    in-kernel Jacobi."""
+    from tpuvof.solver import effective_backend
+
+    eff = lambda n, **kw: effective_backend(  # noqa: E731
+        tv.SimConfig(grid=tv.Grid2D(n, n),
+                     num=tv.Numerics(backend="pallas_mono", **kw)))
+    assert eff(512) == "pallas_mono"          # fits VMEM: unchanged
+    assert eff(2048) == "pallas_tiled"        # beyond envelope: tiled
+    assert eff(4096) == "pallas_tiled"
+    assert eff(1160) == "xla"   # beyond envelope, no divisor tile
+    assert eff(2048, pressure_solver="rbsor") == "xla"
+    tiled = tv.SimConfig(grid=tv.Grid2D(512, 512),
+                         num=tv.Numerics(backend="pallas_tiled"))
+    assert effective_backend(tiled) == "pallas_tiled"  # explicit request

@@ -85,6 +85,44 @@ def test_distributed_pallas_windowed_matches_serial():
                                np.asarray(want.p)[1:-1, 1:-1], atol=1e-9)
 
 
+def test_distributed_pallas_tiled_matches_serial():
+    """The TILED windowed shard engine (Decomp(..., tile=T)): each shard
+    streams its resident extended block through the windowed kernel in
+    T x T tiles (the path huge per-chip shards take when the full
+    extended block exceeds VMEM). Must track serial like the full-block
+    engine does — including tiles narrower than the W=22 halo and an odd
+    step count (both parities)."""
+    import tpuvof as tv
+
+    n = 64
+    cfg = tv.SimConfig(grid=tv.Grid2D(n, n),
+                       num=tv.Numerics(backend="pallas_mono"))
+    state = tv.init_state(cfg, ic=1)
+    state = tv.State(*(a.astype(jnp.float64) for a in state))
+    want = tv.simulate(cfg.replace(num=tv.Numerics()), state, 5)
+
+    for px, py, tile in ((2, 2, 16), (1, 2, 8)):
+        dec = Decomp(cfg, make_mesh(px, py), tile=tile)
+        assert dec.shard_tile() == tile
+        got = dec.simulate(state, 5)
+        for name, atol in (("F", 1e-13), ("u", 1e-13), ("v", 1e-13),
+                           ("p", 1e-9)):
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, name))[1:-1, 1:-1],
+                np.asarray(getattr(want, name))[1:-1, 1:-1], atol=atol,
+                err_msg=f"{name} {px}x{py} tile={tile}")
+
+
+def test_shard_tile_validation():
+    """tile must divide the local blocks; automatic selection prefers the
+    full-block kernel whenever the extended block fits VMEM."""
+    cfg = tv.SimConfig(grid=tv.Grid2D(64, 64),
+                       num=tv.Numerics(backend="pallas_mono"))
+    with pytest.raises(ValueError, match="does not divide"):
+        Decomp(cfg, make_mesh(2, 2), tile=24).shard_tile()
+    assert Decomp(cfg, make_mesh(2, 2)).shard_tile() is None
+
+
 def test_distributed_matches_serial_from_non_bc_consistent_state():
     """The serial driver applies apply_bc once at entry before its lean
     steps; the distributed run must do the same (it did not, and a state

@@ -147,6 +147,28 @@ def test_compiled_dist2d_pallas_bitexact_on_1x1_mesh():
             np.asarray(getattr(want, name))[1:-1, 1:-1], err_msg=name)
 
 
+@pytest.mark.parametrize("tile", [16, 32])
+def test_compiled_tiled_step_matches_mono(state_2d, tile):
+    """The tiled serial engine (solver._step_pallas_tiled) compiled on the
+    real chip: every T x T tile keeps only cells >= W from the extended
+    block's edge, so the Mosaic-compiled trajectory must agree with the
+    whole-field mono kernel to FMA noise (interpret-mode f64 parity is
+    1e-13, tests/test_pallas.py). T=16 < W exercises the halo-slicing
+    regime a distributed shard cannot reach; 4x4 and 2x2 tile layouts."""
+    from tpuvof.solver import _step_pallas_mono, _step_pallas_tiled
+
+    cfg, state = state_2d
+    for parity in (False, True):
+        a = _step_pallas_mono(cfg, state, parity, interpret=False)
+        b = _step_pallas_tiled(cfg, state, parity, tile=tile,
+                               interpret=False)
+        for name in ("F", "u", "v", "p"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(b, name)),
+                np.asarray(getattr(a, name)),
+                atol=TOL_2D[name], err_msg=f"{name} parity={parity}")
+
+
 def test_compiled_mono_kernel_at_vmem_envelope_edge():
     """1024^2 is the largest grid fits_vmem_2d admits (the measured
     113.4 MB envelope edge); the mono kernel must actually run there —

@@ -36,10 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--dt", type=float, default=4e-6)
     p.add_argument("--jacobi", type=int, default=10, help="pressure iterations per step")
-    p.add_argument("--backend", choices=["xla", "pallas", "pallas_mono"],
+    p.add_argument("--backend",
+                   choices=["xla", "pallas", "pallas_mono", "pallas_tiled"],
                    default="xla",
                    help="step implementation: pure-XLA, fused Pallas phase "
-                        "kernels, or the whole-step Pallas mono-kernel")
+                        "kernels, the whole-step Pallas mono-kernel, or "
+                        "the tiled mono engine (grids beyond the VMEM "
+                        "envelope; pallas_mono auto-upgrades to it)")
     p.add_argument("--pressure-solver", choices=["jacobi", "rbsor"],
                    default="jacobi", dest="pressure_solver",
                    help="jacobi = reference-parity fixed sweeps; rbsor = "
@@ -171,7 +174,8 @@ def run_3d(args) -> int:
     n = args.nx
     g = Grid3D(n, n, n)
     state = init_state_3d(g, ic=args.ic)
-    backend = "pallas" if args.backend in ("pallas", "pallas_mono") else "xla"
+    backend = ("pallas" if args.backend in ("pallas", "pallas_mono",
+                                            "pallas_tiled") else "xla")
     dec = None
     if args.mesh:
         import jax

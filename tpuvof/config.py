@@ -83,7 +83,9 @@ class Numerics:
     # (diff_vof.py semantics); 'selfadjoint' installs the hand-written
     # adjoint mirroring diff_vof_replaced.py:303-330.
     pressure_adjoint: str = "unrolled"
-    # 'xla' = pure-jnp step; 'pallas' = fused VMEM-resident phase kernels
+    # 'xla' = pure-jnp step; 'pallas' = fused VMEM-resident phase kernels;
+    # 'pallas_mono' = whole-step VMEM kernel (auto-tiles beyond the VMEM
+    # envelope); 'pallas_tiled' = the tiled mono engine explicitly
     # (forward solver only; the differentiable path stays on 'xla').
     backend: str = "xla"
     # 'jacobi' = the reference's fixed-iteration sweep; 'rbsor' = red-black

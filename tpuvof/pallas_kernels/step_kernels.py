@@ -48,17 +48,41 @@ def pallas_available() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-def fits_vmem_2d(n_i: int, n_j: int) -> bool:
+def fits_vmem_2d(n_i: int, n_j: int, fields: int = 24) -> bool:
     """Whether a whole-field kernel working set fits the v5e's VMEM:
-    ~24 live field-sized temporaries at the (8, 128)-padded field shape
-    under the 124 MB cap (measured 113.4 MB at 1024^2 for the mono
-    kernel). THE single statement of the measured envelope — used by the
-    serial backend dispatch (solver._fits_vmem) and the per-shard
-    windowed-kernel check (parallel/dist.py), which previously carried
-    independent copies of these constants."""
+    ~`fields` live field-sized temporaries at the (8, 128)-padded field
+    shape under the 124 MB cap. THE single statement of the measured
+    envelope — used by the serial backend dispatch (solver._fits_vmem)
+    and the per-shard windowed-kernel check (parallel/dist.py), which
+    previously carried independent copies of these constants.
+
+    fields=24 is the MONO kernel's footprint (measured 113.4 MB at
+    1024^2). The WINDOWED kernel (pallas_fullstep_win) runs ~27
+    field-equivalents — the global-index masks and origin-shifted iotas
+    are extra live temporaries; a 1070^2 window measured 132.70 MB at
+    backend compile (> the 128 MB hard cap; the 24-field model predicted
+    118.6). Windowed-shape callers must pass fields=WINDOWED_FIELDS."""
     n0 = ((n_i + 9) // 8) * 8
     n1 = ((n_j + 129) // 128) * 128
-    return 24 * n0 * n1 * 4 <= 124 * 2**20
+    return fields * n0 * n1 * 4 <= 124 * 2**20
+
+
+# measured: 132.70 MB scoped VMEM for a 1070^2 window -> 26.9 field-
+# equivalents at the (1072, 1152) padded shape; round up to 27
+WINDOWED_FIELDS = 27
+
+
+def pick_tile_2d(nx: int, ny: int, W: int) -> int | None:
+    """Largest square tile T (dividing both extents) whose W-halo-extended
+    block fits the WINDOWED kernel's VMEM envelope — the tiled serial
+    engine (solver._step_pallas_tiled) streams the windowed whole-step
+    kernel over nx/T x ny/T such blocks. None if no candidate divides the
+    grid (the caller falls back to the XLA path)."""
+    for T in (1024, 512, 256, 128, 64):
+        if nx % T == 0 and ny % T == 0 and fits_vmem_2d(
+                T + 2 * W, T + 2 * W, fields=WINDOWED_FIELDS):
+            return T
+    return None
 
 
 def _vmem_specs(n):

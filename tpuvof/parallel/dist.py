@@ -69,9 +69,14 @@ class Decomp:
     the valid center, so the fused-kernel throughput of the serial mono
     path carries over to the sharded grid with one exchange per step."""
 
-    def __init__(self, cfg: SimConfig, mesh: Mesh):
+    def __init__(self, cfg: SimConfig, mesh: Mesh, tile: int | None = None):
         self.cfg = cfg
         self.mesh = mesh
+        # explicit per-shard tile for the TILED windowed engine (tests and
+        # tuning); None = automatic (full-block kernel when the extended
+        # block fits VMEM, tiled beyond it, XLA when neither applies)
+        self._tile = tile
+        self._shard_tile_static = None
         axes = tuple(mesh.axis_names)
         if len(axes) != 2:
             raise ValueError("Decomp expects a 2-D mesh (axes for x and y)")
@@ -416,26 +421,103 @@ class Decomp:
             self.cfg, *ext, oi, oj, even_step,
             interpret=not pallas_available())
 
-    def pallas_shard_supported(self) -> bool:
-        """Whether the windowed kernel applies: the halo must come from the
-        IMMEDIATE neighbor (local blocks >= W per axis) and the extended
-        block must fit the VMEM envelope (~24 live field-sized temporaries
-        <= 124 MB)."""
+    def _shard_halo_ok(self) -> bool:
+        """Each (W+1)-band halo refresh must come from ONE neighbor's owned
+        cells: local blocks >= W+1 per sharded axis."""
         from ..pallas_kernels.step_kernels import step_halo_width
 
-        from ..pallas_kernels.step_kernels import fits_vmem_2d
+        W = step_halo_width(self.cfg)
+        return not ((self.px > 1 and self.nxl < W + 1)
+                    or (self.py > 1 and self.nyl < W + 1))
+
+    def pallas_shard_supported(self) -> bool:
+        """Whether the full-block windowed kernel applies: the halo must
+        come from the IMMEDIATE neighbor (local blocks >= W per axis) and
+        the extended block must fit the VMEM envelope (~24 live
+        field-sized temporaries <= 124 MB)."""
+        from ..pallas_kernels.step_kernels import (
+            WINDOWED_FIELDS, fits_vmem_2d, step_halo_width)
 
         W = step_halo_width(self.cfg)
-        # each (W+1)-band halo refresh must come from ONE neighbor's
-        # owned cells
-        if (self.px > 1 and self.nxl < W + 1) or \
-                (self.py > 1 and self.nyl < W + 1):
+        if not self._shard_halo_ok():
             return False
         # the extended (wide-halo) block plays the role of the whole field:
         # pass its INTERIOR extents — fits_vmem_2d adds the ghost ring
         # itself (passing nxl+2W+2 double-counted the ring and pushed
-        # borderline shard geometries onto the slow XLA fallback, ADVICE r2)
-        return fits_vmem_2d(self.nxl + 2 * W, self.nyl + 2 * W)
+        # borderline shard geometries onto the slow XLA fallback, ADVICE
+        # r2) — with the WINDOWED kernel's measured ~27-field footprint
+        # (a 1070^2 window OOMed the 128 MB cap under the 24-field model)
+        return fits_vmem_2d(self.nxl + 2 * W, self.nyl + 2 * W,
+                            fields=WINDOWED_FIELDS)
+
+    def shard_tile(self) -> int | None:
+        """Tile size for the TILED windowed shard engine, or None when it
+        does not apply. An explicit ``Decomp(..., tile=T)`` forces the
+        tiled engine with that T (tests / tuning); automatically it is
+        used only where the full-block kernel cannot be (extended block
+        beyond the VMEM envelope) but a VMEM-sized tile of the local
+        block exists — so huge per-chip shards keep mono-class
+        throughput instead of dropping to the XLA per-shard step."""
+        from ..pallas_kernels.step_kernels import pick_tile_2d
+        from ..pallas_kernels.step_kernels import step_halo_width
+
+        if not self._shard_halo_ok():
+            return None
+        W = step_halo_width(self.cfg)
+        if self._tile is not None:
+            T = self._tile
+            if self.nxl % T or self.nyl % T:
+                raise ValueError(
+                    f"tile={T} does not divide local blocks "
+                    f"{self.nxl}x{self.nyl}")
+            return T
+        if self.pallas_shard_supported():
+            return None  # full-block kernel is strictly better
+        return pick_tile_2d(self.nxl, self.nyl, W)
+
+    def _local_step_pallas_tiled(self, F, u, v, p, even_step: bool):
+        """One step on the RESIDENT extended blocks, streamed tile-by-tile
+        through the windowed kernel (the serial tiled engine's loop,
+        solver._step_pallas_tiled, with the shard origin folded into each
+        tile's global offset): refresh the halo bands in place, then for
+        every T x T tile of the local block slice its W-extended window
+        from the ENTRY state, run pallas_fullstep_win, and keep the
+        (T+2)-wide fully-valid center. The union of centers covers
+        exactly the local block incl. its ghost ring [W, W+nloc+2); the
+        outer halo bands keep their entry values, which is all the next
+        refresh reads (it ships owned cells only)."""
+        from ..pallas_kernels import pallas_available
+        from ..pallas_kernels.step_kernels import (
+            pallas_fullstep_win, step_halo_width)
+
+        W = step_halo_width(self.cfg)
+        T = self._shard_tile_static
+        h = self.halo
+        oi0 = h.xi() * self.nxl - W
+        oj0 = h.yi() * self.nyl - W
+        ntx, nty = self.nxl // T, self.nyl // T
+        E = T + 2 * W + 2
+        interpret = not pallas_available()
+        ext = tuple(self._refresh_halo_2d(x, W) for x in (F, u, v, p))
+
+        def tile_body(t, carry):
+            ti = t // nty
+            tj = t - ti * nty
+            r0 = ti * T
+            c0 = tj * T
+            # slice from the immutable ENTRY state (ext), never the carry:
+            # overlapping windows must all read pre-step values
+            blocks = [jax.lax.dynamic_slice(a, (r0, c0), (E, E))
+                      for a in ext]
+            out = pallas_fullstep_win(
+                self.cfg, *blocks, oi0 + r0, oj0 + c0, even_step,
+                interpret=interpret)
+            kept = [o[W:W + T + 2, W:W + T + 2] for o in out]
+            return tuple(
+                jax.lax.dynamic_update_slice(a, k, (r0 + W, c0 + W))
+                for a, k in zip(carry, kept))
+
+        return jax.lax.fori_loop(0, ntx * nty, tile_body, ext)
 
     # ------------------------------------------------------------------
     # public API
@@ -454,25 +536,38 @@ class Decomp:
                 "the fixed-iteration Jacobi, and its dependency cone is "
                 "sized for it); backend falls back to 'xla'")
             use_pallas = False
-        if use_pallas and not self.pallas_shard_supported():
-            import warnings
-
-            from ..pallas_kernels.step_kernels import step_halo_width
-
-            W = step_halo_width(self.cfg)
-            if (self.px > 1 and self.nxl < W) or \
-                    (self.py > 1 and self.nyl < W):
-                why = (f"local blocks {self.nxl}x{self.nyl} are thinner "
-                       f"than the W={W} dependency halo (each halo must "
-                       "come from ONE neighbor)")
+        use_tiled = False
+        if use_pallas and (self._tile is not None
+                           or not self.pallas_shard_supported()):
+            tile = self.shard_tile()
+            if tile is not None:
+                # full block beyond VMEM (or explicit request): stream the
+                # windowed kernel over VMEM-sized tiles of the local block
+                use_tiled = True
+                self._shard_tile_static = tile
             else:
-                why = (f"the W={W}-extended block exceeds the VMEM "
-                       f"envelope for local blocks {self.nxl}x{self.nyl}")
-            warnings.warn(
-                f"per-shard windowed kernel unavailable: {why}; using the "
-                "XLA per-shard step")
-            use_pallas = False
-        local = self._local_step_pallas if use_pallas else self._local_step
+                import warnings
+
+                from ..pallas_kernels.step_kernels import step_halo_width
+
+                W = step_halo_width(self.cfg)
+                if (self.px > 1 and self.nxl < W) or \
+                        (self.py > 1 and self.nyl < W):
+                    why = (f"local blocks {self.nxl}x{self.nyl} are thinner "
+                           f"than the W={W} dependency halo (each halo must "
+                           "come from ONE neighbor)")
+                else:
+                    why = (f"the W={W}-extended block exceeds the VMEM "
+                           f"envelope for local blocks {self.nxl}x"
+                           f"{self.nyl}, and no tile in {{64..1024}} "
+                           "divides them for the tiled engine")
+                warnings.warn(
+                    f"per-shard windowed kernel unavailable: {why}; using "
+                    "the XLA per-shard step")
+                use_pallas = False
+        local = (self._local_step_pallas_tiled if use_tiled
+                 else self._local_step_pallas) if use_pallas \
+            else self._local_step
 
         @partial(jax.jit, static_argnums=(1, 2))
         def run(state: State, n_steps: int, istep0: int = 0) -> State:

@@ -63,17 +63,25 @@ def step(cfg: SimConfig, state: State, even_step: bool, lean: bool = False) -> S
     reference pipeline), while 'pallas_mono' applies BC at entry and runs
     the lean step (the canonical simulate() semantics) — deterministic,
     but a different off-spec trajectory."""
-    if cfg.num.backend in ("pallas", "pallas_mono") and (
-            not _fits_vmem(cfg) or cfg.num.pressure_solver != "jacobi"):
+    eff = effective_backend(cfg)
+    if cfg.num.backend in ("pallas", "pallas_mono", "pallas_tiled") \
+            and eff == "xla":
         # whole-field VMEM residency is the kernels' design envelope, and
         # the fused kernels implement the reference's fixed-iteration
         # Jacobi only (a residual-driven while_loop cannot live inside
         # the VMEM kernel); both cases use the XLA path — warn once so a
         # user who asked for the fused kernels knows what actually ran
         _warn_vmem_fallback(cfg)
-    elif cfg.num.backend == "pallas":
+    elif eff == "pallas":
         return _step_pallas(cfg, state, even_step, lean=lean)
-    elif cfg.num.backend == "pallas_mono":
+    elif eff == "pallas_tiled":
+        if not lean:
+            # same entry-BC contract as the mono path below
+            F, u, v, p = state
+            u, v, F, p = apply_bc(u, v, F, p)
+            state = State(F=F, u=u, v=v, p=p)
+        return _step_pallas_tiled(cfg, state, even_step)
+    elif eff == "pallas_mono":
         if not lean:
             # the mono kernel implements the LEAN step; make the non-lean
             # call deterministic across backends by applying BC at entry —
@@ -133,7 +141,8 @@ def _warn_vmem_fallback(cfg: SimConfig) -> None:
     else:
         why = ("the fused kernels' whole-field working set exceeds the "
                "v5e VMEM envelope (~24 padded fields <= 124 MB, i.e. "
-               "grids up to ~1024^2 f32)")
+               "grids up to ~1024^2 f32) and no tile in {64..1024} "
+               "divides the grid for the tiled engine")
     warnings.warn(
         f"backend={cfg.num.backend!r} requested at {g.nx}x{g.ny}, but "
         + why + "; falling back to the XLA path.",
@@ -142,11 +151,30 @@ def _warn_vmem_fallback(cfg: SimConfig) -> None:
 
 
 def effective_backend(cfg: SimConfig) -> str:
-    """The backend `step` will actually use for this config."""
-    if cfg.num.backend in ("pallas", "pallas_mono") and (
-            not _fits_vmem(cfg) or cfg.num.pressure_solver != "jacobi"):
+    """The backend `step` will actually use for this config.
+
+    'pallas_mono' above the whole-field VMEM envelope auto-upgrades to
+    the tiled engine (`_step_pallas_tiled`) when a valid tile exists —
+    mono-class throughput at grids the resident kernel cannot hold —
+    and only then to the XLA path. An explicit 'pallas_tiled' request
+    tiles at any size (single-tile below the envelope)."""
+    if cfg.num.backend not in ("pallas", "pallas_mono", "pallas_tiled"):
+        return cfg.num.backend
+    if cfg.num.pressure_solver != "jacobi":
         return "xla"
-    return cfg.num.backend
+    if cfg.num.backend == "pallas_tiled":
+        return "pallas_tiled" if _tile_2d(cfg) is not None else "xla"
+    if _fits_vmem(cfg):
+        return cfg.num.backend
+    if cfg.num.backend == "pallas_mono" and _tile_2d(cfg) is not None:
+        return "pallas_tiled"
+    return "xla"
+
+
+def _tile_2d(cfg: SimConfig) -> int | None:
+    from .pallas_kernels.step_kernels import pick_tile_2d, step_halo_width
+
+    return pick_tile_2d(cfg.grid.nx, cfg.grid.ny, step_halo_width(cfg))
 
 
 def _fits_vmem(cfg: SimConfig) -> bool:
@@ -209,6 +237,69 @@ def _step_pallas_mono(cfg: SimConfig, state: State, even_step: bool,
         cfg, state.F, state.u, state.v, state.p, even_step, interpret=interpret
     )
     return State(F=F, u=u, v=v, p=p)
+
+
+def _step_pallas_tiled(cfg: SimConfig, state: State, even_step: bool,
+                       tile: int | None = None,
+                       interpret: bool | None = None) -> State:
+    """The whole (lean) step streamed tile-by-tile through the windowed
+    whole-step kernel — mono-class throughput beyond the whole-field VMEM
+    envelope (>1024² f32 on the v5e).
+
+    Each T×T tile ships a W-halo-extended block sliced from the CURRENT
+    full state (W = step_halo_width, the step's exact L∞ dependency
+    radius), runs `pallas_fullstep_win` with its global origin, and keeps
+    the (T+2)-wide center, whose every cell is at distance ≥ W from the
+    extended edge and therefore exactly the serial value (the same cone
+    argument the distributed engine's 1×1 bit-exactness rests on,
+    parallel/dist.py). Unlike a distributed shard there is no T ≥ W
+    restriction: the halo is sliced, not exchanged. Blocks beyond the
+    walls are zero-padded; the kernel's global-index masks keep them
+    inert exactly as for edge shards. Tiles run under one `lax.fori_loop`
+    inside the step program — a single compiled kernel serves all tiles
+    (oi/oj are SMEM scalars)."""
+    from .pallas_kernels import pallas_available
+    from .pallas_kernels.step_kernels import (
+        pallas_fullstep_win,
+        pick_tile_2d,
+        step_halo_width,
+    )
+
+    if interpret is None:
+        interpret = not pallas_available()
+    g = cfg.grid
+    W = step_halo_width(cfg)
+    T = tile if tile is not None else pick_tile_2d(g.nx, g.ny, W)
+    if T is None or g.nx % T or g.ny % T:
+        raise ValueError(
+            f"no valid tile for {g.nx}x{g.ny} (tile={tile}); tiles must "
+            f"divide the grid and fit the VMEM envelope with a 2x{W} halo")
+    ntx, nty = g.nx // T, g.ny // T
+    E = T + 2 * W + 2
+    F, u, v, p = state
+    padded = tuple(jnp.pad(a, W) for a in (F, u, v, p))
+
+    def tile_body(t, carry):
+        ti = t // nty
+        tj = t - ti * nty
+        r0 = ti * T
+        c0 = tj * T
+        blocks = [jax.lax.dynamic_slice(a, (r0, c0), (E, E))
+                  for a in padded]
+        out = pallas_fullstep_win(
+            cfg, *blocks, ti * T - W, tj * T - W, even_step,
+            interpret=interpret)
+        # valid center: ghost-included global rows [ti*T, ti*T + T + 2) —
+        # adjacent tiles overlap by two rows of identical fully-valid
+        # values, so write order is immaterial
+        kept = [o[W:W + T + 2, W:W + T + 2] for o in out]
+        return tuple(
+            jax.lax.dynamic_update_slice(acc, k, (r0, c0))
+            for acc, k in zip(carry, kept))
+
+    Fo, uo, vo, po = jax.lax.fori_loop(0, ntx * nty, tile_body,
+                                       (F, u, v, p))
+    return State(F=Fo, u=uo, v=vo, p=po)
 
 
 def step_pair(cfg: SimConfig, state: State, lean: bool = False) -> State:
