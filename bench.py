@@ -69,6 +69,27 @@ def bench_3d_200(tv, n_steps=100):
     return 200**3 * n_steps / best, best
 
 
+def bench_tiled_2048(tv, n_steps=500):
+    """Beyond-VMEM-envelope flagship: 2048^2 dam break on the tiled
+    engine (pallas_mono auto-upgrades to pallas_tiled there; 16 tiles of
+    512^2). Program shape matches scripts/tpu_tiled_check.py so the
+    compile cache is shared."""
+    n = 2048
+    cfg = tv.SimConfig(grid=tv.Grid2D(n, n),
+                       num=tv.Numerics(backend="pallas_mono"))
+    state = tv.init_state(cfg, ic=1)
+
+    def run(s):
+        t0 = time.perf_counter()
+        out = tv.simulate(cfg, s, n_steps)
+        np.asarray(out.F[:1, :8])
+        return time.perf_counter() - t0, out
+
+    _, s = run(state)  # warmup / compile
+    best = min(run(state)[0] for _ in range(3))
+    return n * n * n_steps / best, best
+
+
 def bench_dist_512(tv, n_steps=1000):
     """Distributed machinery tax gate: 512^2 dam break through Decomp on a
     1x1 mesh (windowed per-shard kernel), device-resident blocked state."""
@@ -128,7 +149,8 @@ def main():
     extras = {}
     if jax.default_backend() != "cpu":
         for key, fn in (("cups_3d_200_pallas", bench_3d_200),
-                        ("cups_dist_512_1x1", bench_dist_512)):
+                        ("cups_dist_512_1x1", bench_dist_512),
+                        ("cups_2048_tiled", bench_tiled_2048)):
             try:
                 cups_x, secs_x = fn(tv)
                 extras[key] = round(cups_x, 1)
