@@ -105,3 +105,36 @@ def test_distributed_3d_pallas_falls_back_on_odd_shards():
     with pytest.warns(UserWarning, match="pallas"):
         dec = Decomp3D(g, make_mesh_1d(8), backend="pallas")
     assert dec.backend == "xla"
+
+
+def make_mesh_2d(px, py):
+    devs = np.array(jax.devices()[: px * py]).reshape(px, py)
+    return Mesh(devs, ("mx", "my"))
+
+
+@pytest.mark.parametrize("px,py,n_steps", [(2, 2, 5), (2, 4, 4), (4, 2, 3),
+                                           (1, 2, 4)])
+def test_distributed_3d_two_axis_matches_serial(px, py, n_steps):
+    """(x, y)-pencil decomposition (2-axis mesh, XLA engine): the masked
+    global-index sweeps (ops/fct3d.sweep_masked_2axis), two-stage corner
+    exchanges, and the v_lo=1 predictor faces must reproduce the serial
+    trajectory like the x-slab engine does. Step counts cover all three
+    istep%3 phases; (1,2) exercises the y-only degenerate mesh."""
+    g = Grid3D(N, N, N)
+    state = _f64(tv.init_state_3d(g, ic=1))
+    want = simulate_3d(g, state, n_steps)
+    dec = Decomp3D(g, make_mesh_2d(px, py))
+    got = dec.simulate(state, n_steps)
+    for name, atol in (("F", 1e-12), ("u", 1e-12), ("v", 1e-12),
+                       ("w", 1e-12), ("p", 1e-8)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name))[1:-1, 1:-1],
+            np.asarray(getattr(want, name))[1:-1, 1:-1], atol=atol,
+            err_msg=f"{name} {px}x{py}")
+
+
+def test_distributed_3d_two_axis_pallas_falls_back():
+    g = Grid3D(32, 32, 32)
+    with pytest.warns(UserWarning, match="full y extent"):
+        dec = Decomp3D(g, make_mesh_2d(2, 2), backend="pallas")
+    assert dec.backend == "xla"

@@ -184,21 +184,28 @@ def run_3d(args) -> int:
 
         parts = [int(x) for x in args.mesh.split(",")]
         px = parts[0]
-        if len(parts) > 1 and any(p != 1 for p in parts[1:]):
-            print("error: the 3-D solver decomposes along x only; use "
-                  "--mesh PX (or PX,1)", file=sys.stderr)
+        py = parts[1] if len(parts) > 1 else 1
+        if len(parts) > 2 and any(p != 1 for p in parts[2:]):
+            print("error: the 3-D solver decomposes along x (and y); use "
+                  "--mesh PX or --mesh PX,PY", file=sys.stderr)
             return 2
         devs = jax.devices()
-        if px > len(devs):
-            print(f"error: mesh {px} needs {px} devices, have {len(devs)}",
-                  file=sys.stderr)
+        if px * py > len(devs):
+            print(f"error: mesh {px}x{py} needs {px * py} devices, have "
+                  f"{len(devs)}", file=sys.stderr)
             return 2
-        dec = Decomp3D(g, Mesh(np.array(devs[:px]), ("mx",)),
-                       dt=args.dt, n_jacobi=args.jacobi, backend=backend)
+        if py > 1:
+            mesh = Mesh(np.array(devs[:px * py]).reshape(px, py),
+                        ("mx", "my"))
+        else:
+            mesh = Mesh(np.array(devs[:px]), ("mx",))
+        dec = Decomp3D(g, mesh, dt=args.dt, n_jacobi=args.jacobi,
+                       backend=backend)
     os.makedirs(args.outdir, exist_ok=True)
     print(f">>> 3-D VOF dam break: {n}^3, dt = {args.dt:4.2e}, "
           f"{args.steps} steps, VTK every {args.frame_every}"
-          + (f", x-decomposed over {dec.px} devices" if dec else ""))
+          + (f", decomposed {dec.px}x{dec.py} over {dec.px * dec.py} "
+             "devices" if dec else ""))
     t0 = time.time()
     done = 0
     while done < args.steps:

@@ -17,7 +17,8 @@ from ..grid import Grid3D
 from .common import clamp01
 
 __all__ = ["fct3d_sweep_x", "fct3d_sweep_y", "fct3d_sweep_z",
-           "fct3d_sweep_x_windowed", "rudman_advect_3d"]
+           "fct3d_sweep_x_windowed", "sweep_masked_2axis",
+           "rudman_advect_3d"]
 
 
 def _sweep3d_axis0(vol, dv_area, flux_scale, q_scale, final_div, dt, F, u):
@@ -213,6 +214,65 @@ def sweep_inplane_masked(g: Grid3D, dt, F, vel, axis: int):
                    jnp.minimum(1.0, qm / jnp.where(pm > 0, pm, 1.0)), 0.0)
     cfct = jnp.where(
         (idx >= 1) & o_int,
+        jnp.where(a >= 0,
+                  jnp.minimum(rp, sh(rm, -1)),
+                  jnp.minimum(sh(rp, -1), rm)),
+        0.0,
+    )
+    corr = (sh(a, 1) * sh(cfct, 1) - a * cfct) / final_div
+    return jnp.where(int_m, clamp01(Ftd - corr * vol / dv), F)
+
+
+def sweep_masked_2axis(g: Grid3D, dt, F, vel, axis: int, gi0, gj0):
+    """One Rudman/Zalesak sweep along ``axis`` (0=x, 1=y, 2=z) in
+    roll+mask form with GLOBAL index masks on BOTH the i and j axes —
+    the sweep kernel of the two-axis (x,y)-decomposed solver
+    (parallel/dist3d.py py>1 engine). Local position (l, m, n) holds
+    global indices (gi0 + l, gj0 + m, n); k (z) is never decomposed.
+    Positions within 3 cells of a block edge along the sweep axis are
+    junk unless that edge is the true wall; non-interior positions carry
+    the input F through. Same limiter chain as sweep_x_masked /
+    sweep_inplane_masked (3dvof.py:366-541) — cross-pinned against the
+    serial sweeps in tests/test_parallel_3d.py."""
+    import jax
+
+    vol, dv_area, flux_scale, q_scale, final_div = _axis_scales(g, axis)
+    shape = F.shape
+    gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + gi0
+    gj = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + gj0
+    k = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    m_i = (gi >= 1) & (gi <= g.nx)
+    m_j = (gj >= 1) & (gj <= g.ny)
+    m_k = (k >= 1) & (k <= g.nz)
+    sw = (gi, gj, k)[axis]
+    n_sweep = (g.nx, g.ny, g.nz)[axis]
+    o_int = {0: m_j & m_k, 1: m_i & m_k, 2: m_i & m_j}[axis]
+
+    def sh(x, d):
+        return _sh3(x, d if axis == 0 else 0, d if axis == 1 else 0,
+                    d if axis == 2 else 0)
+
+    F_up = sh(F, -1)
+    fL = vel * dt * jnp.where(vel >= 0, F_up, F)
+    fH = vel * dt * jnp.where(vel <= 0, F_up, F)
+    a = jnp.where((sw >= 1) & o_int, fH - fL, 0.0)
+    dv = vol - dt * dv_area * (sh(vel, 1) - vel)
+    ftd = clamp01((F + (fL - sh(fL, 1)) * flux_scale) * vol / dv)
+    int_m = (sw >= 1) & (sw <= n_sweep) & o_int
+    Ftd = jnp.where(int_m, ftd, 0.0)
+    fmax = jnp.maximum(Ftd, jnp.maximum(sh(Ftd, -1), sh(Ftd, 1)))
+    fmin = jnp.minimum(Ftd, jnp.minimum(sh(Ftd, -1), sh(Ftd, 1)))
+    a_hi = sh(a, 1)
+    pp = jnp.maximum(0.0, a) - jnp.minimum(0.0, a_hi)
+    qp = (fmax - Ftd) * q_scale
+    rp = jnp.where(int_m & (pp > 0),
+                   jnp.minimum(1.0, qp / jnp.where(pp > 0, pp, 1.0)), 0.0)
+    pm = jnp.maximum(0.0, a_hi) - jnp.minimum(0.0, a)
+    qm = (Ftd - fmin) * q_scale
+    rm = jnp.where(int_m & (pm > 0),
+                   jnp.minimum(1.0, qm / jnp.where(pm > 0, pm, 1.0)), 0.0)
+    cfct = jnp.where(
+        (sw >= 1) & o_int,
         jnp.where(a >= 0,
                   jnp.minimum(rp, sh(rm, -1)),
                   jnp.minimum(sh(rp, -1), rm)),

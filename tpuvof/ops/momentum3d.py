@@ -17,10 +17,11 @@ __all__ = ["predict_velocity_3d", "update_velocity_3d"]
 
 
 def predict_velocity_3d(g: Grid3D, fl: Fluid, dt, u, v, w, F, rho, nu, kappa,
-                        u_lo: int = 2):
-    """``u_lo``: first updated u-face index. The serial solver uses 2 (face
-    1 is the wall); the x-decomposed solver passes 1 and masks the wall face
-    on the left-edge shard only (parallel/dist3d.py)."""
+                        u_lo: int = 2, v_lo: int = 2):
+    """``u_lo``/``v_lo``: first updated u-/v-face index. The serial solver
+    uses 2 (face 1 is the wall); the decomposed solver passes 1 along its
+    sharded axes and masks the wall face on the edge shards only
+    (parallel/dist3d.py)."""
     dxi, dyi, dzi = g.dxi, g.dyi, g.dzi
     n1, n2, n3 = g.nx, g.ny, g.nz
 
@@ -55,8 +56,8 @@ def predict_velocity_3d(g: Grid3D, fl: Fluid, dt, u, v, w, F, rho, nu, kappa,
     )
     u_star = jnp.zeros_like(u).at[u_lo : n1 + 1, 1 : n2 + 1, 1 : n3 + 1].set(us)
 
-    # ---------- v* on j in [2, ny] ----------
-    ri, rj, rk = (1, n1 + 1), (2, n2 + 1), (1, n3 + 1)
+    # ---------- v* on j in [v_lo, ny] ----------
+    ri, rj, rk = (1, n1 + 1), (v_lo, n2 + 1), (1, n3 + 1)
 
     def U2(di=0, dj=0, dk=0):
         return win3(u, ri, rj, rk, di, dj, dk)
@@ -84,7 +85,7 @@ def predict_velocity_3d(g: Grid3D, fl: Fluid, dt, u, v, w, F, rho, nu, kappa,
         + fl.gy
         + fy * 2 / (win3(rho, ri, rj, rk) + win3(rho, ri, rj, rk, 0, -1, 0))
     )
-    v_star = jnp.zeros_like(v).at[1 : n1 + 1, 2 : n2 + 1, 1 : n3 + 1].set(vs)
+    v_star = jnp.zeros_like(v).at[1 : n1 + 1, v_lo : n2 + 1, 1 : n3 + 1].set(vs)
 
     # ---------- w* on k in [2, nz] ----------
     ri, rj, rk = (1, n1 + 1), (1, n2 + 1), (2, n3 + 1)
@@ -120,9 +121,10 @@ def predict_velocity_3d(g: Grid3D, fl: Fluid, dt, u, v, w, F, rho, nu, kappa,
 
 
 def update_velocity_3d(g: Grid3D, dt, u_prev, v_prev, w_prev,
-                       u_star, v_star, w_star, p, rho, u_lo: int = 2):
+                       u_star, v_star, w_star, p, rho, u_lo: int = 2,
+                       v_lo: int = 2):
     """Pressure-gradient correction over the reference face ranges
-    (3dvof.py:286-302). ``u_lo`` as in predict_velocity_3d."""
+    (3dvof.py:286-302). ``u_lo``/``v_lo`` as in predict_velocity_3d."""
     n1, n2, n3 = g.nx, g.ny, g.nz
 
     ri, rj, rk = (u_lo, n1 + 1), (1, n2 + 1), (1, n3 + 1)
@@ -132,12 +134,12 @@ def update_velocity_3d(g: Grid3D, dt, u_prev, v_prev, w_prev,
     ) * g.dxi
     u = u_prev.at[u_lo : n1 + 1, 1 : n2 + 1, 1 : n3 + 1].set(u_int)
 
-    ri, rj, rk = (1, n1 + 1), (2, n2 + 1), (1, n3 + 1)
+    ri, rj, rk = (1, n1 + 1), (v_lo, n2 + 1), (1, n3 + 1)
     r_v = (win3(rho, ri, rj, rk) + win3(rho, ri, rj, rk, 0, -1, 0)) * 0.5
     v_int = win3(v_star, ri, rj, rk) - dt / r_v * (
         win3(p, ri, rj, rk) - win3(p, ri, rj, rk, 0, -1, 0)
     ) * g.dyi
-    v = v_prev.at[1 : n1 + 1, 2 : n2 + 1, 1 : n3 + 1].set(v_int)
+    v = v_prev.at[1 : n1 + 1, v_lo : n2 + 1, 1 : n3 + 1].set(v_int)
 
     ri, rj, rk = (1, n1 + 1), (1, n2 + 1), (2, n3 + 1)
     r_w = (win3(rho, ri, rj, rk) + win3(rho, ri, rj, rk, 0, 0, -1)) * 0.5

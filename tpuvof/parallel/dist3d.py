@@ -1,12 +1,14 @@
-"""Distributed 3-D solver: `shard_map` x-axis domain decomposition.
+"""Distributed 3-D solver: `shard_map` x-axis (or x,y-pencil) decomposition.
 
 The 3-D counterpart of parallel/dist.py (VERDICT r1 #7). The volume is
-sliced along axis 0 (x) only — the axis the Pallas slab kernels already
+sliced along axis 0 (x) — the axis the Pallas slab kernels already
 stream along, so lanes (z) and sublanes (y) stay intact per shard and every
-y/z FCT sweep is communication-free. Each shard holds its interior slab
-padded with the usual one-ghost-plane ring; interior-boundary ghosts ride
-ICI via `lax.ppermute`, physical walls use masked BC formulas on edge
-shards.
+y/z FCT sweep is communication-free — or, for the XLA engine on a 2-axis
+mesh, into (x, y) pencils (z is never decomposed: it is the lane axis,
+and cutting it would shard every row the hardware vectorizes over). Each
+shard holds its interior block padded with the usual one-ghost-plane
+ring; interior-boundary ghosts ride ICI via `lax.ppermute`, physical
+walls use masked BC formulas on edge shards.
 
 Communication per step (all nearest-neighbor along one mesh axis):
   predict: u*, v*, w* ghosts      pressure: p per Jacobi iteration
@@ -33,7 +35,8 @@ from ..config import Fluid
 from ..grid import Grid3D
 from ..state import State3D
 from ..ops import clamp01, mix_properties
-from ..ops.fct3d import fct3d_sweep_x_windowed, fct3d_sweep_y, fct3d_sweep_z
+from ..ops.fct3d import (fct3d_sweep_x_windowed, fct3d_sweep_y,
+                         fct3d_sweep_z, sweep_masked_2axis)
 from ..ops.momentum3d import predict_velocity_3d, update_velocity_3d
 
 from ..solver3d import _SWEEP_ORDER as _SWEEP_ORDER3
@@ -64,7 +67,12 @@ def _shift_x(sl, axis_name: str, n: int, up: bool):
 
 
 class Decomp3D:
-    """x-axis domain decomposition of a 3-D grid over a 1-axis mesh.
+    """Domain decomposition of a 3-D grid: x slabs over a 1-axis mesh, or
+    (x, y) pencils over a 2-axis mesh (XLA engine only — the slab kernels
+    stream x-slabs of whole (y, z) planes, so backend='pallas' requires
+    the 1-axis mesh and a 2-axis mesh falls back with a warning; the
+    pencil sweeps use ops/fct3d.sweep_masked_2axis with global-index
+    masks on both decomposed axes).
 
     backend='pallas' runs the whole per-shard step on the slab-tiled
     kernels (pallas_kernels/step3d.py, jacobi3d.py) on a RESIDENT
@@ -98,15 +106,31 @@ class Decomp3D:
     def __init__(self, g: Grid3D, mesh: Mesh, fl: Fluid | None = None,
                  dt: float = 4e-6, n_jacobi: int = 10,
                  backend: str = "xla", halo_width: int | None = None):
-        if len(mesh.axis_names) != 1:
-            raise ValueError("Decomp3D expects a 1-axis mesh (x slabs)")
+        axes = tuple(mesh.axis_names)
+        if len(axes) not in (1, 2):
+            raise ValueError(
+                "Decomp3D expects a 1-axis (x slabs) or 2-axis (x,y "
+                "pencils) mesh")
         self.g = g
         self.mesh = mesh
-        self.ax = mesh.axis_names[0]
+        self.ax = axes[0]
+        self.ay = axes[1] if len(axes) == 2 else None
         self.px = mesh.shape[self.ax]
-        if g.nx % self.px:
-            raise ValueError(f"nx={g.nx} not divisible by mesh {self.px}")
+        self.py = mesh.shape[self.ay] if self.ay is not None else 1
+        if g.nx % self.px or g.ny % self.py:
+            raise ValueError(
+                f"grid {g.nx}x{g.ny} not divisible by mesh "
+                f"{self.px}x{self.py}")
         self.nxl = g.nx // self.px
+        self.nyl = g.ny // self.py
+        if backend == "pallas" and self.py > 1:
+            import warnings
+
+            warnings.warn(
+                "Decomp3D backend='pallas' needs the full y extent per "
+                "shard (the slab kernels stream x-slabs of whole (y,z) "
+                "planes); a 2-axis mesh uses the XLA engine.")
+            backend = "xla"
         self.fl = fl or Fluid()
         self.dt = dt
         self.n_jacobi = n_jacobi
@@ -161,21 +185,39 @@ class Decomp3D:
     def _xi(self):
         return lax.axis_index(self.ax) if self.px > 1 else 0
 
+    def _yi(self):
+        return lax.axis_index(self.ay) if self.py > 1 else 0
+
     def _is_left(self):
         return self._xi() == 0
 
     def _is_right(self):
         return self._xi() == self.px - 1
 
+    def _is_bottom(self):
+        return self._yi() == 0
+
+    def _is_top(self):
+        return self._yi() == self.py - 1
+
     def _exchange(self, a):
-        """Refresh the axis-0 ghost planes from neighbors; edge shards keep
-        their existing (wall/stale) ghosts."""
-        if self.px == 1:
-            return a
-        recv_lo = _shift_x(a[-2], self.ax, self.px, up=True)
-        recv_hi = _shift_x(a[1], self.ax, self.px, up=False)
-        a = a.at[0].set(jnp.where(self._is_left(), a[0], recv_lo))
-        a = a.at[-1].set(jnp.where(self._is_right(), a[-1], recv_hi))
+        """Refresh the axis-0 (x) and axis-1 (y) ghost layers from
+        neighbors; edge shards keep their existing (wall/stale) ghosts.
+        x-stage first, then y-stage over full x extent (incl. the just-
+        refreshed x ghosts), so corner/edge ghosts land correctly without
+        diagonal communication (cf. parallel/halo.exchange)."""
+        if self.px > 1:
+            recv_lo = _shift_x(a[-2], self.ax, self.px, up=True)
+            recv_hi = _shift_x(a[1], self.ax, self.px, up=False)
+            a = a.at[0].set(jnp.where(self._is_left(), a[0], recv_lo))
+            a = a.at[-1].set(jnp.where(self._is_right(), a[-1], recv_hi))
+        if self.py > 1:
+            recv_lo = _shift_x(a[:, -2], self.ay, self.py, up=True)
+            recv_hi = _shift_x(a[:, 1], self.ay, self.py, up=False)
+            a = a.at[:, 0].set(
+                jnp.where(self._is_bottom(), a[:, 0], recv_lo))
+            a = a.at[:, -1].set(
+                jnp.where(self._is_top(), a[:, -1], recv_hi))
         return a
 
     def _widen(self, a, w: int = 2):
@@ -192,23 +234,39 @@ class Decomp3D:
         hi = jnp.where(self._is_right(), zero, hi)
         return jnp.concatenate([lo, a, hi], axis=0)
 
+    def _widen_y(self, a, w: int = 2):
+        """The axis-1 (y) twin of _widen, for the windowed y-sweep of the
+        2-axis decomposition."""
+        if self.py == 1:
+            z = jnp.zeros(a.shape[:1] + (w,) + a.shape[2:], a.dtype)
+            return jnp.concatenate([z, a, z], axis=1)
+        lo = _shift_x(a[:, -2 - w:-2], self.ay, self.py, up=True)
+        hi = _shift_x(a[:, 2:2 + w], self.ay, self.py, up=False)
+        zero = jnp.zeros_like(lo)
+        lo = jnp.where(self._is_bottom(), zero, lo)
+        hi = jnp.where(self._is_top(), zero, hi)
+        return jnp.concatenate([lo, a, hi], axis=1)
+
     # ---- masked BCs (reference order: y, x, z faces; ops/bc.py) ----
     def _bc(self, u, v, w, F, p):
         left, right = self._is_left(), self._is_right()
+        bot, top = self._is_bottom(), self._is_top()
 
         def m(arr, idx, val):
             return arr.at[idx].set(val)
 
-        u = m(u, (slice(None), 0), u[:, 1])
-        u = m(u, (slice(None), -1), u[:, -2])
-        v = m(v, (slice(None), 1), 0.0)
-        v = m(v, (slice(None), -1), 0.0)
-        w = m(w, (slice(None), 0), w[:, 1])
-        w = m(w, (slice(None), -1), w[:, -2])
-        F = m(F, (slice(None), 0), F[:, 1])
-        F = m(F, (slice(None), -1), F[:, -2])
-        p = m(p, (slice(None), 0), p[:, 1])
-        p = m(p, (slice(None), -1), p[:, -2])
+        # y faces: the serial formulas masked to the y-edge shards (when
+        # py == 1 every shard is both edges and the masks fold away)
+        u = u.at[:, 0].set(jnp.where(bot, u[:, 1], u[:, 0]))
+        u = u.at[:, -1].set(jnp.where(top, u[:, -2], u[:, -1]))
+        v = v.at[:, 1].set(jnp.where(bot, 0.0, v[:, 1]))
+        v = v.at[:, -1].set(jnp.where(top, 0.0, v[:, -1]))
+        w = w.at[:, 0].set(jnp.where(bot, w[:, 1], w[:, 0]))
+        w = w.at[:, -1].set(jnp.where(top, w[:, -2], w[:, -1]))
+        F = F.at[:, 0].set(jnp.where(bot, F[:, 1], F[:, 0]))
+        F = F.at[:, -1].set(jnp.where(top, F[:, -2], F[:, -1]))
+        p = p.at[:, 0].set(jnp.where(bot, p[:, 1], p[:, 0]))
+        p = p.at[:, -1].set(jnp.where(top, p[:, -2], p[:, -1]))
 
         u = u.at[1].set(jnp.where(left, 0.0, u[1]))
         u = u.at[-1].set(jnp.where(right, 0.0, u[-1]))
@@ -244,7 +302,7 @@ class Decomp3D:
             + (vs[1:-1, 2:, 1:-1] - vs[I]) * g.dyi
             + (ws[1:-1, 1:-1, 2:] - ws[I]) * g.dzi
         )
-        shape = (self.nxl, g.ny, g.nz)
+        shape = (self.nxl, self.nyl, g.nz)
         dxi2 = jnp.asarray(np.float64(g.dxi) ** 2, p.dtype)
         dyi2 = jnp.asarray(np.float64(g.dyi) ** 2, p.dtype)
         dzi2 = jnp.asarray(np.float64(g.dzi) ** 2, p.dtype)
@@ -254,8 +312,8 @@ class Decomp3D:
         zero = jnp.zeros((), p.dtype)
         ae = jnp.where(self._is_right() & (li == self.nxl - 1), zero, dxi2)
         aw = jnp.where(self._is_left() & (li == 0), zero, dxi2)
-        an = jnp.where(lj == g.ny - 1, zero, dyi2)
-        a_s = jnp.where(lj == 0, zero, dyi2)
+        an = jnp.where(self._is_top() & (lj == self.nyl - 1), zero, dyi2)
+        a_s = jnp.where(self._is_bottom() & (lj == 0), zero, dyi2)
         af = jnp.where(lk == g.nz - 1, zero, dzi2)
         ab = jnp.where(lk == 0, zero, dzi2)
         ap_inv = -1.0 / (ae + aw + an + a_s + ab + af)
@@ -280,18 +338,24 @@ class Decomp3D:
         # local extents with the GLOBAL spacing copied verbatim (re-deriving
         # dx from a scaled local Lx would not be bit-identical; cf.
         # parallel/dist.py _LocalGrid)
-        gl = _LocalGrid3(nx=self.nxl, ny=g.ny, nz=g.nz,
+        gl = _LocalGrid3(nx=self.nxl, ny=self.nyl, nz=g.nz,
                          dx=g.dx, dy=g.dy, dz=g.dz,
                          dxi=g.dxi, dyi=g.dyi, dzi=g.dzi)
 
         rho, nu = mix_properties(fl, F)
         kappa = jnp.zeros_like(F)  # surface tension inert (3dvof.py:607)
 
-        # predictor over ALL local faces (u_lo=1); the serial wall face
-        # (global face 1) is zeroed on the left shard only
+        # predictor over ALL local faces (u_lo=1; v_lo=1 when y is
+        # decomposed); the serial wall faces (global face 1 per axis) are
+        # zeroed on the edge shards only
+        v_lo = 1 if self.py > 1 else 2
         us, vs, ws = predict_velocity_3d(
-            gl, fl, self.dt, u, v, w, F, rho, nu, kappa, u_lo=1)
+            gl, fl, self.dt, u, v, w, F, rho, nu, kappa, u_lo=1,
+            v_lo=v_lo)
         us = us.at[1].set(jnp.where(self._is_left(), 0.0, us[1]))
+        if self.py > 1:
+            vs = vs.at[:, 1].set(jnp.where(self._is_bottom(), 0.0,
+                                           vs[:, 1]))
         us, vs, ws = self._exchange(us), self._exchange(vs), self._exchange(ws)
 
         u, v, w, F, p = self._bc(u, v, w, F, p)
@@ -300,21 +364,35 @@ class Decomp3D:
         p = self._solve_pressure(p, us, vs, ws, rho)
 
         u, v, w = update_velocity_3d(
-            gl, self.dt, u, v, w, us, vs, ws, p, rho, u_lo=1)
+            gl, self.dt, u, v, w, us, vs, ws, p, rho, u_lo=1, v_lo=v_lo)
         u = u.at[1].set(jnp.where(self._is_left(), 0.0, u[1]))
+        if self.py > 1:
+            v = v.at[:, 1].set(jnp.where(self._is_bottom(), 0.0, v[:, 1]))
         u, v, w, F, p = self._bc(u, v, w, F, p)
 
         def sweep_x(F, u):
             gi0 = self._xi() * self.nxl - 2  # ext plane l -> global gi0 + l
             F_ext = self._widen(F)
             u_ext = self._widen(u)
-            out = fct3d_sweep_x_windowed(g, self.dt, F_ext, u_ext, gi0)
+            if self.py == 1:
+                out = fct3d_sweep_x_windowed(g, self.dt, F_ext, u_ext, gi0)
+            else:
+                out = sweep_masked_2axis(g, self.dt, F_ext, u_ext, 0,
+                                         gi0, self._yi() * self.nyl)
             return out[2:-2]
 
         def sweep_y(F, v):
-            return fct3d_sweep_y(g, self.dt, F, v)
+            if self.py == 1:
+                return fct3d_sweep_y(g, self.dt, F, v)
+            gj0 = self._yi() * self.nyl - 2
+            out = sweep_masked_2axis(
+                g, self.dt, self._widen_y(F), self._widen_y(v), 1,
+                self._xi() * self.nxl, gj0)
+            return out[:, 2:-2]
 
         def sweep_z(F, w):
+            # z is never decomposed: every local interior cell is a global
+            # interior cell and the serial transpose sweep applies as-is
             return fct3d_sweep_z(g, self.dt, F, w)
 
         sweeps = {0: ((sweep_x, u), (sweep_y, v), (sweep_z, w)),
@@ -413,13 +491,22 @@ class Decomp3D:
         return Fo, uo, vo, wo, pj
 
     # ---- host-side layout conversion ----
+    def _spec(self):
+        return P(self.ax) if self.ay is None else P(self.ax, self.ay)
+
     def scatter_state(self, state: State3D) -> State3D:
         def scatter(arr):
             arr = np.asarray(arr)
-            blocks = [arr[c * self.nxl: c * self.nxl + self.nxl + 2]
-                      for c in range(self.px)]
-            blocked = np.concatenate(blocks, axis=0)
-            sharding = NamedSharding(self.mesh, P(self.ax))
+            rows = []
+            for ci in range(self.px):
+                cols = []
+                for cj in range(self.py):
+                    i0, j0 = ci * self.nxl, cj * self.nyl
+                    cols.append(arr[i0: i0 + self.nxl + 2,
+                                    j0: j0 + self.nyl + 2])
+                rows.append(np.concatenate(cols, axis=1))
+            blocked = np.concatenate(rows, axis=0)
+            sharding = NamedSharding(self.mesh, self._spec())
             return jax.device_put(jnp.asarray(blocked), sharding)
 
         return State3D(*(scatter(a) for a in state))
@@ -429,11 +516,14 @@ class Decomp3D:
 
         def gather(blocked):
             b = np.asarray(blocked)
-            out = np.zeros((g.nx + 2,) + b.shape[1:], b.dtype)
-            H = self.nxl + 2
-            for c in range(self.px):
-                out[c * self.nxl + 1: (c + 1) * self.nxl + 1] = \
-                    b[c * H + 1: (c + 1) * H - 1]
+            out = np.zeros((g.nx + 2, g.ny + 2) + b.shape[2:], b.dtype)
+            H, Wd = self.nxl + 2, self.nyl + 2
+            for ci in range(self.px):
+                for cj in range(self.py):
+                    blk = b[ci * H: (ci + 1) * H, cj * Wd: (cj + 1) * Wd]
+                    out[ci * self.nxl + 1: (ci + 1) * self.nxl + 1,
+                        cj * self.nyl + 1: (cj + 1) * self.nyl + 1] = \
+                        blk[1:-1, 1:-1]
             return jnp.asarray(out)
 
         from ..ops import apply_bc_3d
@@ -447,7 +537,7 @@ class Decomp3D:
 
     # ---- public API ----
     def make_simulate(self):
-        spec = P(self.ax)
+        spec = self._spec()
         use_pallas = self.backend == "pallas"
 
         @partial(jax.jit, static_argnums=(1, 2))
