@@ -69,11 +69,13 @@ def bench_3d_200(tv, n_steps=100):
     return 200**3 * n_steps / best, best
 
 
-def bench_tiled_2048(tv, n_steps=500):
-    """Beyond-VMEM-envelope flagship: 2048^2 dam break on the tiled
-    engine (pallas_mono auto-upgrades to pallas_tiled there; 16 tiles of
-    512^2). Program shape matches scripts/tpu_tiled_check.py so the
-    compile cache is shared."""
+def bench_2048_beyond_vmem(tv, n_steps=500):
+    """Beyond-VMEM-envelope flagship: 2048^2 dam break on whatever engine
+    pallas_mono auto-upgrades to there (round 3: the strip-streaming
+    engine, one HBM-resident launch per step — 3.13e9 CUPS, 1.7x the
+    tiled loop engine it replaced as the default; r2 key name was
+    cups_2048_tiled). Program shape matches scripts/tpu_strips_check.py
+    so the compile cache is shared."""
     n = 2048
     cfg = tv.SimConfig(grid=tv.Grid2D(n, n),
                        num=tv.Numerics(backend="pallas_mono"))
@@ -150,7 +152,7 @@ def main():
     if jax.default_backend() != "cpu":
         for key, fn in (("cups_3d_200_pallas", bench_3d_200),
                         ("cups_dist_512_1x1", bench_dist_512),
-                        ("cups_2048_tiled", bench_tiled_2048)):
+                        ("cups_2048_strips", bench_2048_beyond_vmem)):
             try:
                 cups_x, secs_x = fn(tv)
                 extras[key] = round(cups_x, 1)

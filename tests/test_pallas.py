@@ -87,7 +87,7 @@ def test_tiled_step_matches_mono_every_tile_size():
     state = tv.State(F=F, u=u, v=v, p=p)
     for parity in (False, True):
         want = _step_pallas_mono(cfg, state, parity, interpret=True)
-        for T in (16, 32, 64):
+        for T in (16, 32, 64, (16, 64), (32, 16)):
             got = _step_pallas_tiled(cfg, state, parity, tile=T,
                                      interpret=True)
             for name, x, y in zip(("F", "u", "v", "p"), got, want):
@@ -113,20 +113,67 @@ def test_tiled_trajectory_via_public_api():
 
 
 def test_tiled_backend_routing():
-    """pallas_mono auto-upgrades to the tiled engine beyond the VMEM
-    envelope (instead of the XLA fallback), and degrades to XLA only
-    when no tile divides the grid or the pressure solver is not the
-    in-kernel Jacobi."""
+    """pallas_mono auto-upgrades beyond the VMEM envelope: first to the
+    strip-streaming engine (single launch, DMA overlap), then the tiled
+    engine, degrading to XLA only when neither layout exists or the
+    pressure solver is not the in-kernel Jacobi."""
     from tpuvof.solver import effective_backend
 
     eff = lambda n, **kw: effective_backend(  # noqa: E731
         tv.SimConfig(grid=tv.Grid2D(n, n),
                      num=tv.Numerics(backend="pallas_mono", **kw)))
     assert eff(512) == "pallas_mono"          # fits VMEM: unchanged
-    assert eff(2048) == "pallas_tiled"        # beyond envelope: tiled
-    assert eff(4096) == "pallas_tiled"
-    assert eff(1160) == "xla"   # beyond envelope, no divisor tile
+    assert eff(2048) == "pallas_strips"       # beyond envelope: strips
+    assert eff(4096) == "pallas_strips"
+    # beyond envelope, no power-of-two divisor: strips still applies
+    # (only nx % Tx matters; lanes pad to 128)
+    assert eff(1160) == "pallas_strips"
     assert eff(2048, pressure_solver="rbsor") == "xla"
     tiled = tv.SimConfig(grid=tv.Grid2D(512, 512),
                          num=tv.Numerics(backend="pallas_tiled"))
     assert effective_backend(tiled) == "pallas_tiled"  # explicit request
+    strips = tv.SimConfig(grid=tv.Grid2D(512, 512),
+                          num=tv.Numerics(backend="pallas_strips"))
+    assert effective_backend(strips) == "pallas_strips"
+
+
+def test_strips_step_matches_mono():
+    """The strip-streaming engine (solver._step_pallas_strips) must
+    reproduce the mono kernel at f64 for both parities and several strip
+    heights — Tx=16/32 exercise the multi-strip double-buffer/drain
+    paths (4 and 2 strips on a 64² grid), the auto layout the
+    single-strip case."""
+    from tpuvof.ops import apply_bc
+    from tpuvof.solver import _step_pallas_mono, _step_pallas_strips
+
+    cfg = tv.SimConfig(grid=tv.Grid2D(64, 64))
+    state = tv.simulate(cfg, tv.init_state(cfg, ic=1), 6)
+    state = tv.State(*[a.astype(jnp.float64) for a in state])
+    u, v, F, p = apply_bc(state.u, state.v, state.F, state.p)
+    state = tv.State(F=F, u=u, v=v, p=p)
+    for parity in (False, True):
+        want = _step_pallas_mono(cfg, state, parity, interpret=True)
+        for tx in (16, 32, None):
+            got = _step_pallas_strips(cfg, state, parity, interpret=True,
+                                      tx=tx)
+            for name, x, y in zip(("F", "u", "v", "p"), got, want):
+                np.testing.assert_allclose(
+                    np.asarray(x), np.asarray(y), atol=1e-13,
+                    err_msg=f"{name} tx={tx} parity={parity}")
+
+
+def test_strips_trajectory_via_public_api():
+    """backend='pallas_strips' through simulate(): the padded-resident
+    scan (junk margins feeding successive steps' cone margins) matches
+    pallas_mono at f64 over a multi-step trajectory; the odd step count
+    exercises the remainder branch."""
+    cfg_m = tv.SimConfig(grid=tv.Grid2D(64, 64),
+                         num=tv.Numerics(backend="pallas_mono"))
+    cfg_s = cfg_m.replace(num=tv.Numerics(backend="pallas_strips"))
+    s0 = tv.State(*[a.astype(jnp.float64)
+                    for a in tv.init_state(cfg_m, ic=1)])
+    a = tv.simulate(cfg_m, s0, 21)
+    b = tv.simulate(cfg_s, s0, 21)
+    for name, x, y in zip(("F", "u", "v", "p"), a, b):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=1e-12, err_msg=name)

@@ -103,7 +103,7 @@ def test_distributed_pallas_tiled_matches_serial():
 
     for px, py, tile in ((2, 2, 16), (1, 2, 8)):
         dec = Decomp(cfg, make_mesh(px, py), tile=tile)
-        assert dec.shard_tile() == tile
+        assert dec.shard_tile() == (tile, tile)
         got = dec.simulate(state, 5)
         for name, atol in (("F", 1e-13), ("u", 1e-13), ("v", 1e-13),
                            ("p", 1e-9)):

@@ -169,6 +169,38 @@ def test_compiled_tiled_step_matches_mono(state_2d, tile):
                 atol=TOL_2D[name], err_msg=f"{name} parity={parity}")
 
 
+def test_compiled_strips_step_matches_mono(state_2d):
+    """The strip-streaming engine (solver._step_pallas_strips) compiled
+    on the real chip: tx=16 runs 4 strips through the double-buffered
+    DMA pipeline on a 64^2 grid (the auto layout would pick a single
+    whole-grid strip). Interpret-mode f64 parity with the mono kernel is
+    1e-13 (tests/test_pallas.py); compiled agreement is to FMA noise.
+    Also pins a 9-step padded-resident trajectory via the public API
+    (odd count = remainder branch; unwritten junk margins feed each next
+    step's cone margin and must be neutralized by the load sanitizer)."""
+    from tpuvof.solver import _step_pallas_mono, _step_pallas_strips
+
+    cfg, state = state_2d
+    for parity in (False, True):
+        a = _step_pallas_mono(cfg, state, parity, interpret=False)
+        b = _step_pallas_strips(cfg, state, parity, interpret=False, tx=16)
+        for name in ("F", "u", "v", "p"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(b, name)),
+                np.asarray(getattr(a, name)),
+                atol=TOL_2D[name], err_msg=f"{name} parity={parity}")
+
+    cfg_m = cfg.replace(num=tv.Numerics(backend="pallas_mono"))
+    cfg_s = cfg.replace(num=tv.Numerics(backend="pallas_strips"))
+    want = tv.simulate(cfg_m, state, 9)
+    got = tv.simulate(cfg_s, state, 9)
+    for name in ("F", "u", "v", "p"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)),
+            np.asarray(getattr(want, name)),
+            atol=TOL_2D[name], err_msg=name)
+
+
 def test_compiled_mono_kernel_at_vmem_envelope_edge():
     """1024^2 is the largest grid fits_vmem_2d admits (the measured
     113.4 MB envelope edge); the mono kernel must actually run there —

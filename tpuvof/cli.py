@@ -37,7 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dt", type=float, default=4e-6)
     p.add_argument("--jacobi", type=int, default=10, help="pressure iterations per step")
     p.add_argument("--backend",
-                   choices=["xla", "pallas", "pallas_mono", "pallas_tiled"],
+                   choices=["xla", "pallas", "pallas_mono", "pallas_tiled",
+                            "pallas_strips"],
                    default="xla",
                    help="step implementation: pure-XLA, fused Pallas phase "
                         "kernels, the whole-step Pallas mono-kernel, or "
@@ -175,7 +176,8 @@ def run_3d(args) -> int:
     g = Grid3D(n, n, n)
     state = init_state_3d(g, ic=args.ic)
     backend = ("pallas" if args.backend in ("pallas", "pallas_mono",
-                                            "pallas_tiled") else "xla")
+                                            "pallas_tiled", "pallas_strips")
+               else "xla")
     dec = None
     if args.mesh:
         import jax

@@ -84,9 +84,11 @@ class Numerics:
     # adjoint mirroring diff_vof_replaced.py:303-330.
     pressure_adjoint: str = "unrolled"
     # 'xla' = pure-jnp step; 'pallas' = fused VMEM-resident phase kernels;
-    # 'pallas_mono' = whole-step VMEM kernel (auto-tiles beyond the VMEM
-    # envelope); 'pallas_tiled' = the tiled mono engine explicitly
-    # (forward solver only; the differentiable path stays on 'xla').
+    # 'pallas_mono' = whole-step VMEM kernel (auto-upgrades to the
+    # strip-streaming then the tiled engine beyond the VMEM envelope);
+    # 'pallas_strips' = one strip-streaming launch per step explicitly;
+    # 'pallas_tiled' = the tiled mono engine explicitly (forward solver
+    # only; the differentiable path stays on 'xla').
     backend: str = "xla"
     # 'jacobi' = the reference's fixed-iteration sweep; 'rbsor' = red-black
     # SOR iterated to an on-device residual tolerance (upgrade path; not

@@ -40,6 +40,8 @@ __all__ = [
     "pallas_fct_sweep_y",
     "pallas_predict",
     "pallas_fullstep_win",
+    "pallas_fullstep_strips",
+    "strips_layout_2d",
     "step_halo_width",
 ]
 
@@ -72,16 +74,28 @@ def fits_vmem_2d(n_i: int, n_j: int, fields: int = 24) -> bool:
 WINDOWED_FIELDS = 27
 
 
-def pick_tile_2d(nx: int, ny: int, W: int) -> int | None:
-    """Largest square tile T (dividing both extents) whose W-halo-extended
-    block fits the WINDOWED kernel's VMEM envelope — the tiled serial
-    engine (solver._step_pallas_tiled) streams the windowed whole-step
-    kernel over nx/T x ny/T such blocks. None if no candidate divides the
-    grid (the caller falls back to the XLA path)."""
+def pick_tile_2d(nx: int, ny: int, W: int) -> tuple[int, int] | None:
+    """Tile (Tx, Ty) (dividing the extents) whose W-halo-extended block
+    fits the WINDOWED kernel's VMEM envelope — the tiled serial engine
+    (solver._step_pallas_tiled) streams the windowed whole-step kernel
+    over (nx/Tx) x (ny/Ty) such blocks. None if no candidate divides the
+    grid (the caller falls back to the XLA path).
+
+    FULL-WIDTH STRIPS (Ty = ny) are strongly preferred: their windows
+    are contiguous row ranges, so the XLA-level `dynamic_slice` feeding
+    each kernel call is a linear memcpy instead of a strided 2-D gather,
+    the strip rounds to the (8,128) lane grid with ~6%% padding waste at
+    2048 lanes (vs 15%% for a 558-wide square window), and a step takes
+    nx/Tx launches instead of (nx/Tx)(ny/Ty). Square tiles remain the
+    fallback for grids whose full width cannot fit VMEM even at Tx=32."""
+    for Tx in (1024, 512, 256, 128, 64, 32):
+        if nx % Tx == 0 and fits_vmem_2d(
+                Tx + 2 * W, ny + 2 * W, fields=WINDOWED_FIELDS):
+            return Tx, ny
     for T in (1024, 512, 256, 128, 64):
         if nx % T == 0 and ny % T == 0 and fits_vmem_2d(
                 T + 2 * W, T + 2 * W, fields=WINDOWED_FIELDS):
-            return T
+            return T, T
     return None
 
 
@@ -555,27 +569,47 @@ def pallas_fullstep(cfg: SimConfig, F, u, v, p, even_step: bool,
 # entire lean step's dependency cone (predict 3 + rhs 1 + n_jacobi + 
 # correct 1 + two sweeps 3+3), runs this kernel on the extended block with
 # every mask evaluated at GLOBAL indices, and keeps only the fully-valid
-# center. Junk in the cone margin (including any inf from junk-operand
-# divisions) erodes inward at most one cell per stencil pass and never
-# reaches the kept region. Serial kernels are the oi=oj=0 special case of
-# the same bodies (bit-identical masks).
+# center. Junk INSIDE the global domain (a neighbor's cone margin) erodes
+# inward at most one cell per stencil pass and never reaches the kept
+# region; junk OUTSIDE the global domain is zeroed at load
+# (_win_step_values), so even NaN/Inf buffer garbage (the strip engine's
+# unwritten resident margins) cannot leak through 0*junk contributions.
+# Serial kernels are the oi=oj=0 special case of the same bodies
+# (bit-identical masks).
 # ----------------------------------------------------------------------
 def step_halo_width(cfg: SimConfig) -> int:
     """L-inf dependency radius of one lean step."""
     return cfg.num.n_jacobi + 12
 
 
-def _fullstep_win_kernel(oi_ref, oj_ref, F_ref, u_ref, v_ref, p_ref,
-                         F_out, u_out, v_out, p_out,
-                         *, cfg: SimConfig, even_step: bool):
+def _win_step_values(cfg: SimConfig, even_step: bool, oi, oj,
+                     F, u, v, p_init, p_ref):
+    """The windowed lean-step computation on loaded block VALUES — the
+    shared body of the one-shot windowed kernel (_fullstep_win_kernel)
+    and the strip-streaming kernel (_fullstep_strips_kernel). ``p_ref``
+    is a VMEM ref used for the in-place Jacobi iteration (the caller's p
+    output buffer, or a scratch in the streaming kernel). Returns
+    (u, v, F, p) block values (the _bc_values order)."""
     g, fl, nm = cfg.grid, cfg.fluid, cfg.num
-    oi = oi_ref[0, 0]
-    oj = oj_ref[0, 0]
-    F = F_ref[:]
-    u = u_ref[:]
-    v = v_ref[:]
     shape = F.shape
     dt = nm.dt
+
+    # Sanitize the cone margin at load: values outside the GLOBAL
+    # ghost-included domain [0, n+2) are junk (zero pad in the tiled
+    # engine, neighbor-wrap in the distributed one, UNINITIALIZED buffer
+    # rows in the strip engine's resident layout). Finite junk is inert
+    # under the global masks (0*junk contributions), but NaN/Inf junk is
+    # not (0*NaN=NaN, max(x,NaN)=NaN) — zeroing here makes every engine
+    # junk-proof and is bit-neutral for the others (their margins were
+    # already zeros or provably non-contributing).
+    row = _iota(shape, 0) + oi
+    col = _iota(shape, 1) + oj
+    valid = ((row >= 0) & (row <= g.nx + 1)
+             & (col >= 0) & (col <= g.ny + 1))
+    F = jnp.where(valid, F, 0.0)
+    u = jnp.where(valid, u, 0.0)
+    v = jnp.where(valid, v, 0.0)
+    p_init = jnp.where(valid, p_init, 0.0)
 
     us, vs, rho = _predict_body(cfg, u, v, F, oi, oj)
 
@@ -588,22 +622,22 @@ def _fullstep_win_kernel(oi_ref, oj_ref, F_ref, u_ref, v_ref, p_ref,
         )
     )
     ae, aw, an, a_s, ap_inv = _inline_poisson_coeffs(
-        g, p_ref.dtype, shape_int=(shape[0] - 2, shape[1] - 2), oi=oi, oj=oj)
-    p_out[:] = p_ref[:]
+        g, p_init.dtype, shape_int=(shape[0] - 2, shape[1] - 2), oi=oi, oj=oj)
+    p_ref[:] = p_init
 
     def body(_, carry):
         p_int = (
             rhs
-            - ae * p_out[2:, 1:-1]
-            - aw * p_out[:-2, 1:-1]
-            - an * p_out[1:-1, 2:]
-            - a_s * p_out[1:-1, :-2]
+            - ae * p_ref[2:, 1:-1]
+            - aw * p_ref[:-2, 1:-1]
+            - an * p_ref[1:-1, 2:]
+            - a_s * p_ref[1:-1, :-2]
         ) * ap_inv
-        p_out[1:-1, 1:-1] = p_int
+        p_ref[1:-1, 1:-1] = p_int
         return carry
 
     lax.fori_loop(0, nm.n_jacobi, body, 0, unroll=True)
-    p = p_out[:]
+    p = p_ref[:]
 
     r_u = (rho + _sh(rho, -1, 0)) * 0.5
     u_corr = us - dt / r_u * (p - _sh(p, -1, 0)) * g.dxi
@@ -630,11 +664,171 @@ def _fullstep_win_kernel(oi_ref, oj_ref, F_ref, u_ref, v_ref, p_ref,
         F = sweep_y(F)
     F = clamp01(F)
 
-    u, v, F, p = _bc_values(g, u, v, F, p, oi, oj)
+    return _bc_values(g, u, v, F, p, oi, oj)
+
+
+def _fullstep_win_kernel(oi_ref, oj_ref, F_ref, u_ref, v_ref, p_ref,
+                         F_out, u_out, v_out, p_out,
+                         *, cfg: SimConfig, even_step: bool):
+    oi = oi_ref[0, 0]
+    oj = oj_ref[0, 0]
+    u, v, F, p = _win_step_values(
+        cfg, even_step, oi, oj, F_ref[:], u_ref[:], v_ref[:], p_ref[:],
+        p_out)
     F_out[:] = F
     u_out[:] = u
     v_out[:] = v
     p_out[:] = p
+
+
+def strips_layout_2d(cfg: SimConfig, tx: int | None = None):
+    """Static geometry of the strip-streamed whole-step engine
+    (pallas_fullstep_strips), or None when no full-width strip both
+    divides nx and fits VMEM. ``tx`` restricts the candidate strip
+    heights to that single value (tests / tuning: small grids otherwise
+    pick a single whole-grid strip, leaving the multi-strip streaming
+    paths unexercised).
+
+    Returns (Tx, W2, P0, P1, Exp, Lout, ntx):
+      W2   — halo width rounded up to the sublane grid (ceil8 of the
+             true L-inf cone), so every strip DMA has 8-aligned row
+             starts AND every staged row is inside the validity cone
+             (staged rows [W2, W2+Tx+8) ⊂ [W, Exp-W) since W2 >= W)
+      P0/P1 — padded array extents: rows nx+2+2*W2 grown so the last
+             window fits, lanes rounded to 128
+      Exp  — window rows per strip (Tx + 2*W2 + 2, ceil8)
+      Lout — rows written back per strip (Tx + 8; adjacent strips
+             overlap by 8 rows of IDENTICAL fully-valid values, so the
+             async out-DMAs may complete in any order)
+    """
+    g = cfg.grid
+    W = step_halo_width(cfg)
+    W2 = ((W + 7) // 8) * 8
+    P1 = ((g.ny + 2 + 2 * W2 + 127) // 128) * 128
+    candidates = (1024, 512, 256, 128, 64, 32, 16, 8) if tx is None \
+        else (tx,)
+    for Tx in candidates:
+        if g.nx % Tx:
+            continue
+        Exp = ((Tx + 2 * W2 + 2 + 7) // 8) * 8
+        Lout = Tx + 8
+        # measured footprint model: ~27 field-equivalent temporaries at
+        # the window shape (the windowed body; see fits_vmem_2d) + the
+        # double-buffered in/out scratch
+        need = (27 * Exp + 8 * Lout) * P1 * 4
+        if need <= 116 * 2**20:
+            P0 = g.nx - Tx + Exp
+            return Tx, W2, P0, P1, Exp, Lout, g.nx // Tx
+    return None
+
+
+def _fullstep_strips_kernel(F_hbm, u_hbm, v_hbm, p_hbm,
+                            F_out, u_out, v_out, p_out,
+                            Fb, ub, vb, pb, pwork,
+                            Fs, us_, vs_, ps_, sems, osems,
+                            *, cfg: SimConfig, even_step: bool, Tx: int,
+                            W2: int, Exp: int, Lout: int, ntx: int):
+    """Double-buffered strip loop (the 2-D analog of step3d's slab
+    kernels): strip c's window [c*Tx, c*Tx+Exp) is DMA'd HBM->VMEM while
+    strip c-1 computes; the windowed step body runs on the loaded block
+    with global origin (c*Tx - W2, -W2); rows [W2, W2+Lout) — all inside
+    the validity cone — are staged and DMA'd back. Row [0, W2) / tail
+    padding of the outputs is never written: beyond-wall junk, inert
+    under the global masks (exactly the distributed engines' halo-junk
+    contract)."""
+    ins = ((F_hbm, Fb), (u_hbm, ub), (v_hbm, vb), (p_hbm, pb))
+    outs = ((Fs, F_out), (us_, u_out), (vs_, v_out), (ps_, p_out))
+
+    def in_dma(slot, c, i):
+        h, b = ins[i]
+        return pltpu.make_async_copy(
+            h.at[pl.ds(c * Tx, Exp)],
+            b.at[pl.ds(slot * Exp, Exp)],
+            sems.at[slot * 4 + i])
+
+    def out_dma(slot, c, i):
+        b, h = outs[i]
+        return pltpu.make_async_copy(
+            b.at[pl.ds(slot * Lout, Lout)],
+            h.at[pl.ds(c * Tx + W2, Lout)],
+            osems.at[slot * 4 + i])
+
+    for i in range(4):
+        in_dma(0, 0, i).start()
+
+    def body(c, carry):
+        slot = lax.rem(c, 2)
+
+        @pl.when(c + 1 < ntx)
+        def _():
+            for i in range(4):
+                in_dma(lax.rem(c + 1, 2), c + 1, i).start()
+
+        for i in range(4):
+            in_dma(slot, c, i).wait()
+
+        s0 = slot * Exp
+        u, v, F, p = _win_step_values(
+            cfg, even_step, c * Tx - W2, -W2,
+            Fb[pl.ds(s0, Exp)], ub[pl.ds(s0, Exp)], vb[pl.ds(s0, Exp)],
+            pb[pl.ds(s0, Exp)], pwork)
+
+        # the staging slot was last used by strip c-2: drain its out-DMA
+        @pl.when(c >= 2)
+        def _():
+            for i in range(4):
+                out_dma(slot, c - 2, i).wait()
+
+        for (b, _h), val in zip(outs, (F, u, v, p)):
+            b[pl.ds(slot * Lout, Lout)] = lax.slice_in_dim(
+                val, W2, W2 + Lout, axis=0)
+        for i in range(4):
+            out_dma(slot, c, i).start()
+        return carry
+
+    lax.fori_loop(0, ntx, body, 0)
+    for c in range(max(0, ntx - 2), ntx):
+        for i in range(4):
+            out_dma(c % 2, c, i).wait()
+
+
+def pallas_fullstep_strips(cfg: SimConfig, F, u, v, p, even_step: bool,
+                           interpret: bool = False, tx: int | None = None):
+    """One lean step on W2-padded full fields (strips_layout_2d layout),
+    resident in HBM: the whole step for ANY grid height in ONE kernel
+    launch, with the window DMA overlapped behind the previous strip's
+    compute — no XLA-level window slicing (the tiled loop engine's
+    dynamic_slice/dynamic_update_slice round trips). Inputs and outputs
+    are (P0, P1) arrays; rows [W2, W2+nx+2) x cols [W2, W2+ny+2) carry
+    the state; everything outside is inert junk."""
+    lay = strips_layout_2d(cfg, tx=tx)
+    if lay is None:
+        raise ValueError("no strip layout fits VMEM for this grid")
+    Tx, W2, P0, P1, Exp, Lout, ntx = lay
+    assert F.shape == (P0, P1), (F.shape, (P0, P1))
+    shape = jax.ShapeDtypeStruct(F.shape, F.dtype)
+    blk = lambda n: pltpu.VMEM((n, P1), F.dtype)  # noqa: E731
+    hbm = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+           for _ in range(4)]
+    return pl.pallas_call(
+        partial(_fullstep_strips_kernel, cfg=cfg, even_step=even_step,
+                Tx=Tx, W2=W2, Exp=Exp, Lout=Lout, ntx=ntx),
+        out_shape=(shape,) * 4,
+        in_specs=hbm,
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+            for _ in range(4)),
+        scratch_shapes=[
+            blk(2 * Exp), blk(2 * Exp), blk(2 * Exp), blk(2 * Exp),
+            blk(Exp),                                  # Jacobi work buffer
+            blk(2 * Lout), blk(2 * Lout), blk(2 * Lout), blk(2 * Lout),
+            pltpu.SemaphoreType.DMA((8,)),
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=124 * 2**20),
+        interpret=interpret,
+    )(F, u, v, p)
 
 
 def pallas_fullstep_win(cfg: SimConfig, F, u, v, p, oi, oj,

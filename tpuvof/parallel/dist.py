@@ -450,14 +450,16 @@ class Decomp:
         return fits_vmem_2d(self.nxl + 2 * W, self.nyl + 2 * W,
                             fields=WINDOWED_FIELDS)
 
-    def shard_tile(self) -> int | None:
-        """Tile size for the TILED windowed shard engine, or None when it
-        does not apply. An explicit ``Decomp(..., tile=T)`` forces the
-        tiled engine with that T (tests / tuning); automatically it is
-        used only where the full-block kernel cannot be (extended block
-        beyond the VMEM envelope) but a VMEM-sized tile of the local
-        block exists — so huge per-chip shards keep mono-class
-        throughput instead of dropping to the XLA per-shard step."""
+    def shard_tile(self) -> tuple[int, int] | None:
+        """Tile (Tx, Ty) for the TILED windowed shard engine, or None when
+        it does not apply. An explicit ``Decomp(..., tile=T)`` (int =
+        square, tuple = rectangular) forces the tiled engine (tests /
+        tuning); automatically it is used only where the full-block
+        kernel cannot be (extended block beyond the VMEM envelope) but a
+        VMEM-sized tile of the local block exists — so huge per-chip
+        shards keep mono-class throughput instead of dropping to the XLA
+        per-shard step. Auto-picked layouts prefer full-width strips
+        (pick_tile_2d)."""
         from ..pallas_kernels.step_kernels import pick_tile_2d
         from ..pallas_kernels.step_kernels import step_halo_width
 
@@ -466,9 +468,11 @@ class Decomp:
         W = step_halo_width(self.cfg)
         if self._tile is not None:
             T = self._tile
-            if self.nxl % T or self.nyl % T:
+            if isinstance(T, int):
+                T = (T, T)
+            if self.nxl % T[0] or self.nyl % T[1]:
                 raise ValueError(
-                    f"tile={T} does not divide local blocks "
+                    f"tile={self._tile} does not divide local blocks "
                     f"{self.nxl}x{self.nyl}")
             return T
         if self.pallas_shard_supported():
@@ -491,28 +495,28 @@ class Decomp:
             pallas_fullstep_win, step_halo_width)
 
         W = step_halo_width(self.cfg)
-        T = self._shard_tile_static
+        Tx, Ty = self._shard_tile_static
         h = self.halo
         oi0 = h.xi() * self.nxl - W
         oj0 = h.yi() * self.nyl - W
-        ntx, nty = self.nxl // T, self.nyl // T
-        E = T + 2 * W + 2
+        ntx, nty = self.nxl // Tx, self.nyl // Ty
+        Ex, Ey = Tx + 2 * W + 2, Ty + 2 * W + 2
         interpret = not pallas_available()
         ext = tuple(self._refresh_halo_2d(x, W) for x in (F, u, v, p))
 
         def tile_body(t, carry):
             ti = t // nty
             tj = t - ti * nty
-            r0 = ti * T
-            c0 = tj * T
+            r0 = ti * Tx
+            c0 = tj * Ty
             # slice from the immutable ENTRY state (ext), never the carry:
             # overlapping windows must all read pre-step values
-            blocks = [jax.lax.dynamic_slice(a, (r0, c0), (E, E))
+            blocks = [jax.lax.dynamic_slice(a, (r0, c0), (Ex, Ey))
                       for a in ext]
             out = pallas_fullstep_win(
                 self.cfg, *blocks, oi0 + r0, oj0 + c0, even_step,
                 interpret=interpret)
-            kept = [o[W:W + T + 2, W:W + T + 2] for o in out]
+            kept = [o[W:W + Tx + 2, W:W + Ty + 2] for o in out]
             return tuple(
                 jax.lax.dynamic_update_slice(a, k, (r0 + W, c0 + W))
                 for a, k in zip(carry, kept))

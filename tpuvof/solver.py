@@ -64,8 +64,8 @@ def step(cfg: SimConfig, state: State, even_step: bool, lean: bool = False) -> S
     the lean step (the canonical simulate() semantics) — deterministic,
     but a different off-spec trajectory."""
     eff = effective_backend(cfg)
-    if cfg.num.backend in ("pallas", "pallas_mono", "pallas_tiled") \
-            and eff == "xla":
+    if cfg.num.backend in ("pallas", "pallas_mono", "pallas_tiled",
+                           "pallas_strips") and eff == "xla":
         # whole-field VMEM residency is the kernels' design envelope, and
         # the fused kernels implement the reference's fixed-iteration
         # Jacobi only (a residual-driven while_loop cannot live inside
@@ -81,6 +81,13 @@ def step(cfg: SimConfig, state: State, even_step: bool, lean: bool = False) -> S
             u, v, F, p = apply_bc(u, v, F, p)
             state = State(F=F, u=u, v=v, p=p)
         return _step_pallas_tiled(cfg, state, even_step)
+    elif eff == "pallas_strips":
+        if not lean:
+            # same entry-BC contract as the mono path below
+            F, u, v, p = state
+            u, v, F, p = apply_bc(u, v, F, p)
+            state = State(F=F, u=u, v=v, p=p)
+        return _step_pallas_strips(cfg, state, even_step)
     elif eff == "pallas_mono":
         if not lean:
             # the mono kernel implements the LEAN step; make the non-lean
@@ -141,7 +148,7 @@ def _warn_vmem_fallback(cfg: SimConfig) -> None:
     else:
         why = ("the fused kernels' whole-field working set exceeds the "
                "v5e VMEM envelope (~24 padded fields <= 124 MB, i.e. "
-               "grids up to ~1024^2 f32) and no tile in {64..1024} "
+               "grids up to ~1024^2 f32) and no strip/tile layout "
                "divides the grid for the tiled engine")
     warnings.warn(
         f"backend={cfg.num.backend!r} requested at {g.nx}x{g.ny}, but "
@@ -154,20 +161,27 @@ def effective_backend(cfg: SimConfig) -> str:
     """The backend `step` will actually use for this config.
 
     'pallas_mono' above the whole-field VMEM envelope auto-upgrades to
-    the tiled engine (`_step_pallas_tiled`) when a valid tile exists —
-    mono-class throughput at grids the resident kernel cannot hold —
-    and only then to the XLA path. An explicit 'pallas_tiled' request
-    tiles at any size (single-tile below the envelope)."""
-    if cfg.num.backend not in ("pallas", "pallas_mono", "pallas_tiled"):
+    the strip-streaming engine (`_step_pallas_strips`, preferred: one
+    launch per step with DMA/compute overlap), then the tiled engine
+    (`_step_pallas_tiled`), and only then to the XLA path. Explicit
+    'pallas_strips'/'pallas_tiled' requests use that engine at any size
+    it supports."""
+    if cfg.num.backend not in ("pallas", "pallas_mono", "pallas_tiled",
+                               "pallas_strips"):
         return cfg.num.backend
     if cfg.num.pressure_solver != "jacobi":
         return "xla"
     if cfg.num.backend == "pallas_tiled":
         return "pallas_tiled" if _tile_2d(cfg) is not None else "xla"
+    if cfg.num.backend == "pallas_strips":
+        return "pallas_strips" if _strips_layout(cfg) is not None else "xla"
     if _fits_vmem(cfg):
         return cfg.num.backend
-    if cfg.num.backend == "pallas_mono" and _tile_2d(cfg) is not None:
-        return "pallas_tiled"
+    if cfg.num.backend == "pallas_mono":
+        if _strips_layout(cfg) is not None:
+            return "pallas_strips"
+        if _tile_2d(cfg) is not None:
+            return "pallas_tiled"
     return "xla"
 
 
@@ -175,6 +189,12 @@ def _tile_2d(cfg: SimConfig) -> int | None:
     from .pallas_kernels.step_kernels import pick_tile_2d, step_halo_width
 
     return pick_tile_2d(cfg.grid.nx, cfg.grid.ny, step_halo_width(cfg))
+
+
+def _strips_layout(cfg: SimConfig):
+    from .pallas_kernels.step_kernels import strips_layout_2d
+
+    return strips_layout_2d(cfg)
 
 
 def _fits_vmem(cfg: SimConfig) -> bool:
@@ -240,13 +260,13 @@ def _step_pallas_mono(cfg: SimConfig, state: State, even_step: bool,
 
 
 def _step_pallas_tiled(cfg: SimConfig, state: State, even_step: bool,
-                       tile: int | None = None,
+                       tile: int | tuple[int, int] | None = None,
                        interpret: bool | None = None) -> State:
     """The whole (lean) step streamed tile-by-tile through the windowed
     whole-step kernel — mono-class throughput beyond the whole-field VMEM
     envelope (>1024² f32 on the v5e).
 
-    Each T×T tile ships a W-halo-extended block sliced from the CURRENT
+    Each Tx×Ty tile ships a W-halo-extended block sliced from the CURRENT
     full state (W = step_halo_width, the step's exact L∞ dependency
     radius), runs `pallas_fullstep_win` with its global origin, and keeps
     the (T+2)-wide center, whose every cell is at distance ≥ W from the
@@ -257,7 +277,10 @@ def _step_pallas_tiled(cfg: SimConfig, state: State, even_step: bool,
     walls are zero-padded; the kernel's global-index masks keep them
     inert exactly as for edge shards. Tiles run under one `lax.fori_loop`
     inside the step program — a single compiled kernel serves all tiles
-    (oi/oj are SMEM scalars)."""
+    (oi/oj are SMEM scalars). The auto-picked layout is full-width strips
+    (Ty = ny) whenever they fit VMEM: contiguous row windows make the
+    feeding `dynamic_slice` a linear memcpy and waste the least lane
+    padding (pick_tile_2d)."""
     from .pallas_kernels import pallas_available
     from .pallas_kernels.step_kernels import (
         pallas_fullstep_win,
@@ -270,35 +293,81 @@ def _step_pallas_tiled(cfg: SimConfig, state: State, even_step: bool,
     g = cfg.grid
     W = step_halo_width(cfg)
     T = tile if tile is not None else pick_tile_2d(g.nx, g.ny, W)
-    if T is None or g.nx % T or g.ny % T:
+    if isinstance(T, int):
+        T = (T, T)
+    if T is None or g.nx % T[0] or g.ny % T[1]:
         raise ValueError(
             f"no valid tile for {g.nx}x{g.ny} (tile={tile}); tiles must "
             f"divide the grid and fit the VMEM envelope with a 2x{W} halo")
-    ntx, nty = g.nx // T, g.ny // T
-    E = T + 2 * W + 2
+    Tx, Ty = T
+    ntx, nty = g.nx // Tx, g.ny // Ty
+    Ex, Ey = Tx + 2 * W + 2, Ty + 2 * W + 2
     F, u, v, p = state
     padded = tuple(jnp.pad(a, W) for a in (F, u, v, p))
 
     def tile_body(t, carry):
         ti = t // nty
         tj = t - ti * nty
-        r0 = ti * T
-        c0 = tj * T
-        blocks = [jax.lax.dynamic_slice(a, (r0, c0), (E, E))
+        r0 = ti * Tx
+        c0 = tj * Ty
+        blocks = [jax.lax.dynamic_slice(a, (r0, c0), (Ex, Ey))
                   for a in padded]
         out = pallas_fullstep_win(
-            cfg, *blocks, ti * T - W, tj * T - W, even_step,
+            cfg, *blocks, r0 - W, c0 - W, even_step,
             interpret=interpret)
-        # valid center: ghost-included global rows [ti*T, ti*T + T + 2) —
+        # valid center: ghost-included global rows [ti*Tx, ti*Tx+Tx+2) —
         # adjacent tiles overlap by two rows of identical fully-valid
         # values, so write order is immaterial
-        kept = [o[W:W + T + 2, W:W + T + 2] for o in out]
+        kept = [o[W:W + Tx + 2, W:W + Ty + 2] for o in out]
         return tuple(
             jax.lax.dynamic_update_slice(acc, k, (r0, c0))
             for acc, k in zip(carry, kept))
 
     Fo, uo, vo, po = jax.lax.fori_loop(0, ntx * nty, tile_body,
                                        (F, u, v, p))
+    return State(F=Fo, u=uo, v=vo, p=po)
+
+
+def _pad_strips(lay, a):
+    """Embed a (nx+2, ny+2) field at offset (W2, W2) of the strip engine's
+    (P0, P1) padded layout; the surround is zeros (inert junk under the
+    kernel's global-index masks, like the tiled engine's zero pad)."""
+    _Tx, W2, P0, P1, *_ = lay
+    return jnp.zeros((P0, P1), a.dtype).at[
+        W2:W2 + a.shape[0], W2:W2 + a.shape[1]].set(a)
+
+
+def _step_pallas_strips(cfg: SimConfig, state: State, even_step: bool,
+                        interpret: bool | None = None,
+                        tx: int | None = None) -> State:
+    """The whole (lean) step as ONE strip-streaming Pallas launch
+    (pallas_fullstep_strips): the fields live padded in HBM, full-width
+    row strips are double-buffer DMA'd through VMEM with each window's
+    copy-in overlapped behind the previous strip's compute. Same validity
+    -cone numerics as the tiled engine, without its per-tile XLA
+    dynamic_slice/dynamic_update_slice round trips or per-tile kernel
+    launches. This entry point pads/unpads per call (tests, single
+    steps); `simulate` keeps the padded layout resident across the whole
+    scan (_simulate_strips)."""
+    from .pallas_kernels import pallas_available
+    from .pallas_kernels.step_kernels import (
+        pallas_fullstep_strips,
+        strips_layout_2d,
+    )
+
+    if interpret is None:
+        interpret = not pallas_available()
+    lay = strips_layout_2d(cfg, tx=tx)
+    if lay is None:
+        raise ValueError("no strip layout fits VMEM for this grid")
+    W2 = lay[1]
+    F, u, v, p = state
+    n0, n1 = F.shape
+    out = pallas_fullstep_strips(
+        cfg, *(_pad_strips(lay, a) for a in (F, u, v, p)), even_step,
+        interpret=interpret, tx=tx)
+    sl = (slice(W2, W2 + n0), slice(W2, W2 + n1))
+    Fo, uo, vo, po = (a[sl] for a in out)
     return State(F=Fo, u=uo, v=vo, p=po)
 
 
@@ -337,6 +406,8 @@ def _simulate_impl(cfg: SimConfig, state: State, n_steps: int,
     state = State(F=F, u=u, v=v, p=p)
     even1 = (istep0 + 1) % 2 == 0  # parity of the first step taken here
     n_pairs, rem = divmod(n_steps, 2)
+    if effective_backend(cfg) == "pallas_strips":
+        return _simulate_strips(cfg, state, n_pairs, rem, even1)
 
     def body(s, _):
         s = step(cfg, s, even_step=even1, lean=True)
@@ -347,6 +418,42 @@ def _simulate_impl(cfg: SimConfig, state: State, n_steps: int,
     if rem:
         state = step(cfg, state, even_step=even1, lean=True)
     return state
+
+
+def _simulate_strips(cfg: SimConfig, state: State, n_pairs: int, rem: int,
+                     even1: bool) -> State:
+    """Strip-engine scan body: pad ONCE to the engine's resident (P0, P1)
+    layout, scan whole-step kernel launches on the padded arrays (the
+    unwritten junk margin each step feeds the next step's cone margin —
+    the documented erosion contract), and slice the state back out at the
+    end. Saves the per-step pad/unpad HBM round trip of the step() entry
+    point (8 full-field copies, ~10% of a 2048² step)."""
+    from .pallas_kernels import pallas_available
+    from .pallas_kernels.step_kernels import (
+        pallas_fullstep_strips,
+        strips_layout_2d,
+    )
+
+    interpret = not pallas_available()
+    lay = strips_layout_2d(cfg)
+    W2 = lay[1]
+    n0, n1 = state.F.shape
+    padded = tuple(_pad_strips(lay, a) for a in state)
+
+    def body(arrs, _):
+        arrs = pallas_fullstep_strips(cfg, *arrs, even1,
+                                      interpret=interpret)
+        arrs = pallas_fullstep_strips(cfg, *arrs, not even1,
+                                      interpret=interpret)
+        return arrs, None
+
+    padded, _ = jax.lax.scan(body, padded, None, length=n_pairs)
+    if rem:
+        padded = pallas_fullstep_strips(cfg, *padded, even1,
+                                        interpret=interpret)
+    sl = (slice(W2, W2 + n0), slice(W2, W2 + n1))
+    Fo, uo, vo, po = (a[sl] for a in padded)
+    return State(F=Fo, u=uo, v=vo, p=po)
 
 
 def make_step_fn(cfg: SimConfig):
