@@ -113,6 +113,37 @@ def test_distributed_pallas_tiled_matches_serial():
                 err_msg=f"{name} {px}x{py} tile={tile}")
 
 
+def test_distributed_pallas_strips_matches_serial():
+    """The STRIP-STREAMING shard engine (Decomp(..., engine='strips')):
+    each shard keeps its block resident in the strip engine's padded
+    layout and ONE kernel launch per step streams it through
+    double-buffered VMEM slots (the beyond-VMEM default, preferred over
+    the tiled loop). Must track serial like the other pallas shard
+    engines — multi-strip (tx < nxl), both mesh orientations, corners
+    (2x2), and an odd step count (both parities). The unwritten resident
+    margins carry NaN junk between steps on this path; agreement here
+    also pins the load sanitizer + (W+1)-band refresh interplay."""
+    import tpuvof as tv
+
+    n = 64
+    cfg = tv.SimConfig(grid=tv.Grid2D(n, n),
+                       num=tv.Numerics(backend="pallas_mono"))
+    state = tv.init_state(cfg, ic=1)
+    state = tv.State(*(a.astype(jnp.float64) for a in state))
+    want = tv.simulate(cfg.replace(num=tv.Numerics()), state, 5)
+
+    for px, py, tx in ((2, 2, 8), (1, 2, 16), (2, 1, 8)):
+        dec = Decomp(cfg, make_mesh(px, py), engine="strips", tx=tx)
+        assert dec.shard_strips_layout() is not None
+        got = dec.simulate(state, 5)
+        for name, atol in (("F", 1e-13), ("u", 1e-13), ("v", 1e-13),
+                           ("p", 1e-9)):
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, name))[1:-1, 1:-1],
+                np.asarray(getattr(want, name))[1:-1, 1:-1], atol=atol,
+                err_msg=f"{name} {px}x{py} tx={tx}")
+
+
 def test_shard_tile_validation():
     """tile must divide the local blocks; automatic selection prefers the
     full-block kernel whenever the extended block fits VMEM."""

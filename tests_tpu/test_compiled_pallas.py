@@ -147,6 +147,37 @@ def test_compiled_dist2d_pallas_bitexact_on_1x1_mesh():
             np.asarray(getattr(want, name))[1:-1, 1:-1], err_msg=name)
 
 
+def test_compiled_dist2d_strips_bitexact_on_1x1_mesh():
+    """The STRIP-STREAMING shard engine compiled on the real chip, 1x1
+    mesh: the halo refresh is a no-op, the origin scalars are zero and
+    the layout equals the serial strips layout, so the trajectory must
+    be BIT-identical to the serial strips engine (tx=16 -> 4 strips per
+    step through the DMA pipeline on the 64^2 grid)."""
+    import jax
+    from jax.sharding import Mesh
+    from tpuvof.parallel import Decomp
+    from tpuvof.solver import _step_pallas_strips
+    from tpuvof.ops import apply_bc
+
+    cfg = tv.SimConfig(grid=tv.Grid2D(64, 64),
+                       num=tv.Numerics(backend="pallas_mono"))
+    state = tv.init_state(cfg, ic=1)
+    # serial reference: entry BC + lean strips steps (the canonical
+    # simulate semantics), forced to the same tx=16 layout
+    u, v, F, p = apply_bc(state.u, state.v, state.F, state.p)
+    want = tv.State(F=F, u=u, v=v, p=p)
+    for i in range(1, 9):
+        want = _step_pallas_strips(cfg, want, even_step=(i % 2 == 0),
+                                   interpret=False, tx=16)
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("mx", "my"))
+    dec = Decomp(cfg, mesh, engine="strips", tx=16)
+    got = dec.simulate(state, 8)
+    for name in ("F", "u", "v", "p"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, name))[1:-1, 1:-1],
+            np.asarray(getattr(want, name))[1:-1, 1:-1], err_msg=name)
+
+
 @pytest.mark.parametrize("tile", [16, 32])
 def test_compiled_tiled_step_matches_mono(state_2d, tile):
     """The tiled serial engine (solver._step_pallas_tiled) compiled on the

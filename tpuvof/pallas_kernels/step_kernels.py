@@ -681,13 +681,16 @@ def _fullstep_win_kernel(oi_ref, oj_ref, F_ref, u_ref, v_ref, p_ref,
     p_out[:] = p
 
 
-def strips_layout_2d(cfg: SimConfig, tx: int | None = None):
+def strips_layout_2d(cfg: SimConfig, tx: int | None = None,
+                     extents: tuple[int, int] | None = None):
     """Static geometry of the strip-streamed whole-step engine
     (pallas_fullstep_strips), or None when no full-width strip both
     divides nx and fits VMEM. ``tx`` restricts the candidate strip
     heights to that single value (tests / tuning: small grids otherwise
     pick a single whole-grid strip, leaving the multi-strip streaming
-    paths unexercised).
+    paths unexercised). ``extents`` = (rows, lanes) interior extents to
+    lay out instead of the global grid — the distributed shard engine
+    streams each shard's LOCAL block (nxl, nyl).
 
     Returns (Tx, W2, P0, P1, Exp, Lout, ntx):
       W2   — halo width rounded up to the sublane grid (ceil8 of the
@@ -702,13 +705,14 @@ def strips_layout_2d(cfg: SimConfig, tx: int | None = None):
              async out-DMAs may complete in any order)
     """
     g = cfg.grid
+    rows, lanes = extents if extents is not None else (g.nx, g.ny)
     W = step_halo_width(cfg)
     W2 = ((W + 7) // 8) * 8
-    P1 = ((g.ny + 2 + 2 * W2 + 127) // 128) * 128
+    P1 = ((lanes + 2 + 2 * W2 + 127) // 128) * 128
     candidates = (1024, 512, 256, 128, 64, 32, 16, 8) if tx is None \
         else (tx,)
     for Tx in candidates:
-        if g.nx % Tx:
+        if rows % Tx:
             continue
         Exp = ((Tx + 2 * W2 + 2 + 7) // 8) * 8
         Lout = Tx + 8
@@ -717,12 +721,13 @@ def strips_layout_2d(cfg: SimConfig, tx: int | None = None):
         # double-buffered in/out scratch
         need = (27 * Exp + 8 * Lout) * P1 * 4
         if need <= 116 * 2**20:
-            P0 = g.nx - Tx + Exp
-            return Tx, W2, P0, P1, Exp, Lout, g.nx // Tx
+            P0 = rows - Tx + Exp
+            return Tx, W2, P0, P1, Exp, Lout, rows // Tx
     return None
 
 
-def _fullstep_strips_kernel(F_hbm, u_hbm, v_hbm, p_hbm,
+def _fullstep_strips_kernel(oi0_ref, oj0_ref,
+                            F_hbm, u_hbm, v_hbm, p_hbm,
                             F_out, u_out, v_out, p_out,
                             Fb, ub, vb, pb, pwork,
                             Fs, us_, vs_, ps_, sems, osems,
@@ -731,11 +736,15 @@ def _fullstep_strips_kernel(F_hbm, u_hbm, v_hbm, p_hbm,
     """Double-buffered strip loop (the 2-D analog of step3d's slab
     kernels): strip c's window [c*Tx, c*Tx+Exp) is DMA'd HBM->VMEM while
     strip c-1 computes; the windowed step body runs on the loaded block
-    with global origin (c*Tx - W2, -W2); rows [W2, W2+Lout) — all inside
-    the validity cone — are staged and DMA'd back. Row [0, W2) / tail
-    padding of the outputs is never written: beyond-wall junk, inert
-    under the global masks (exactly the distributed engines' halo-junk
-    contract)."""
+    with global origin (oi0 + c*Tx - W2, oj0 - W2) — (oi0, oj0) are the
+    traced global indices of the streamed block's first ghost row/col
+    (0 for the serial engine, the shard origin under shard_map); rows
+    [W2, W2+Lout) — all inside the validity cone — are staged and DMA'd
+    back. Row [0, W2) / tail padding of the outputs is never written:
+    out-of-block junk, neutralized at the next step's load (sanitizer in
+    _win_step_values / the shard halo refresh)."""
+    oi0 = oi0_ref[0, 0]
+    oj0 = oj0_ref[0, 0]
     ins = ((F_hbm, Fb), (u_hbm, ub), (v_hbm, vb), (p_hbm, pb))
     outs = ((Fs, F_out), (us_, u_out), (vs_, v_out), (ps_, p_out))
 
@@ -769,7 +778,7 @@ def _fullstep_strips_kernel(F_hbm, u_hbm, v_hbm, p_hbm,
 
         s0 = slot * Exp
         u, v, F, p = _win_step_values(
-            cfg, even_step, c * Tx - W2, -W2,
+            cfg, even_step, oi0 + c * Tx - W2, oj0 - W2,
             Fb[pl.ds(s0, Exp)], ub[pl.ds(s0, Exp)], vb[pl.ds(s0, Exp)],
             pb[pl.ds(s0, Exp)], pwork)
 
@@ -793,28 +802,35 @@ def _fullstep_strips_kernel(F_hbm, u_hbm, v_hbm, p_hbm,
 
 
 def pallas_fullstep_strips(cfg: SimConfig, F, u, v, p, even_step: bool,
-                           interpret: bool = False, tx: int | None = None):
-    """One lean step on W2-padded full fields (strips_layout_2d layout),
+                           interpret: bool = False, tx: int | None = None,
+                           extents: tuple[int, int] | None = None,
+                           oi0=0, oj0=0):
+    """One lean step on W2-padded fields (strips_layout_2d layout),
     resident in HBM: the whole step for ANY grid height in ONE kernel
     launch, with the window DMA overlapped behind the previous strip's
     compute — no XLA-level window slicing (the tiled loop engine's
     dynamic_slice/dynamic_update_slice round trips). Inputs and outputs
-    are (P0, P1) arrays; rows [W2, W2+nx+2) x cols [W2, W2+ny+2) carry
-    the state; everything outside is inert junk."""
-    lay = strips_layout_2d(cfg, tx=tx)
+    are (P0, P1) arrays; rows [W2, W2+rows+2) x cols [W2, W2+lanes+2)
+    carry the streamed block; everything outside is inert junk (serial)
+    or neighbor halo (the distributed shard engine, which passes the
+    shard's traced global origin (oi0, oj0) and its local ``extents``)."""
+    lay = strips_layout_2d(cfg, tx=tx, extents=extents)
     if lay is None:
         raise ValueError("no strip layout fits VMEM for this grid")
     Tx, W2, P0, P1, Exp, Lout, ntx = lay
     assert F.shape == (P0, P1), (F.shape, (P0, P1))
     shape = jax.ShapeDtypeStruct(F.shape, F.dtype)
     blk = lambda n: pltpu.VMEM((n, P1), F.dtype)  # noqa: E731
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     hbm = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
            for _ in range(4)]
+    oi0 = jnp.asarray(oi0, jnp.int32).reshape(1, 1)
+    oj0 = jnp.asarray(oj0, jnp.int32).reshape(1, 1)
     return pl.pallas_call(
         partial(_fullstep_strips_kernel, cfg=cfg, even_step=even_step,
                 Tx=Tx, W2=W2, Exp=Exp, Lout=Lout, ntx=ntx),
         out_shape=(shape,) * 4,
-        in_specs=hbm,
+        in_specs=[smem, smem] + hbm,
         out_specs=tuple(
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
             for _ in range(4)),
@@ -828,7 +844,7 @@ def pallas_fullstep_strips(cfg: SimConfig, F, u, v, p, even_step: bool,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=124 * 2**20),
         interpret=interpret,
-    )(F, u, v, p)
+    )(oi0, oj0, F, u, v, p)
 
 
 def pallas_fullstep_win(cfg: SimConfig, F, u, v, p, oi, oj,

@@ -69,14 +69,24 @@ class Decomp:
     the valid center, so the fused-kernel throughput of the serial mono
     path carries over to the sharded grid with one exchange per step."""
 
-    def __init__(self, cfg: SimConfig, mesh: Mesh, tile: int | None = None):
+    def __init__(self, cfg: SimConfig, mesh: Mesh, tile: int | None = None,
+                 engine: str | None = None, tx: int | None = None):
         self.cfg = cfg
         self.mesh = mesh
         # explicit per-shard tile for the TILED windowed engine (tests and
         # tuning); None = automatic (full-block kernel when the extended
-        # block fits VMEM, tiled beyond it, XLA when neither applies)
+        # block fits VMEM, strip-streamed then tiled beyond it, XLA when
+        # none applies)
         self._tile = tile
+        # engine: None = automatic; 'full' | 'strips' | 'tiled' force a
+        # pallas shard engine (tests / tuning). `tx` restricts the strip
+        # engine's streaming height (strips_layout_2d).
+        if engine not in (None, "full", "strips", "tiled"):
+            raise ValueError(f"unknown shard engine {engine!r}")
+        self._engine = engine
+        self._tx = tx
         self._shard_tile_static = None
+        self._strips_lay_static = None
         axes = tuple(mesh.axis_names)
         if len(axes) != 2:
             raise ValueError("Decomp expects a 2-D mesh (axes for x and y)")
@@ -475,7 +485,7 @@ class Decomp:
                     f"tile={self._tile} does not divide local blocks "
                     f"{self.nxl}x{self.nyl}")
             return T
-        if self.pallas_shard_supported():
+        if self._engine != "tiled" and self.pallas_shard_supported():
             return None  # full-block kernel is strictly better
         return pick_tile_2d(self.nxl, self.nyl, W)
 
@@ -524,6 +534,89 @@ class Decomp:
         return jax.lax.fori_loop(0, ntx * nty, tile_body, ext)
 
     # ------------------------------------------------------------------
+    # the per-shard step on the strip-streaming kernel
+    # ------------------------------------------------------------------
+    def shard_strips_layout(self):
+        """strips_layout_2d geometry for the STRIP-STREAMING shard engine
+        on the local block (the beyond-VMEM default, preferred over the
+        tiled loop: one launch per step, window DMA overlapped behind
+        compute), or None when no strip height divides nxl and fits
+        VMEM or the halo cannot come from one neighbor."""
+        from ..pallas_kernels.step_kernels import strips_layout_2d
+
+        if not self._shard_halo_ok():
+            return None
+        return strips_layout_2d(self.cfg, tx=self._tx,
+                                extents=(self.nxl, self.nyl))
+
+    def _pad_strips_shard(self, a, lay):
+        """Embed a (nxl+2, nyl+2) shard block at offset (W2, W2) of the
+        strip engine's (P0, P1) resident layout (zeros surround — inert:
+        out-of-domain junk is sanitized at load, in-domain margins are
+        refreshed from neighbors before every kernel)."""
+        W2, P0, P1 = lay[1], lay[2], lay[3]
+        return jnp.zeros((P0, P1), a.dtype).at[
+            W2:W2 + a.shape[0], W2:W2 + a.shape[1]].set(a)
+
+    def _refresh_halo_strips(self, a, W: int, lay):
+        """_refresh_halo_2d's (W+1)-band in-place halo refresh, offset
+        onto the strip engine's (P0, P1) resident layout: extended-frame
+        row e lives at padded row e + off with off = W2 - W. The padded
+        rows/cols outside the refreshed bands ([0, off) and the tail) are
+        never valid and never enter any kept cell's dependency cone
+        (distance >= W+1 from the staged rows)."""
+        h = self.halo
+        nxl, nyl = self.nxl, self.nyl
+        off = lay[1] - W
+        if self.px > 1:
+            lo = _hshift(a[off + nxl: off + nxl + W + 1, :],
+                         h.axis_x, self.px, up=True)
+            hi = _hshift(a[off + W + 1: off + 2 * W + 2, :],
+                         h.axis_x, self.px, up=False)
+            dlo = a[off: off + W + 1, :]
+            dhi = a[off + W + nxl + 1: off + 2 * W + nxl + 2, :]
+            a = a.at[off: off + W + 1, :].set(
+                jnp.where(h.is_left(), dlo, lo))
+            a = a.at[off + W + nxl + 1: off + 2 * W + nxl + 2, :].set(
+                jnp.where(h.is_right(), dhi, hi))
+        if self.py > 1:
+            lo = _hshift(a[:, off + nyl: off + nyl + W + 1],
+                         h.axis_y, self.py, up=True)
+            hi = _hshift(a[:, off + W + 1: off + 2 * W + 2],
+                         h.axis_y, self.py, up=False)
+            dlo = a[:, off: off + W + 1]
+            dhi = a[:, off + W + nyl + 1: off + 2 * W + nyl + 2]
+            a = a.at[:, off: off + W + 1].set(
+                jnp.where(h.is_bottom(), dlo, lo))
+            a = a.at[:, off + W + nyl + 1: off + 2 * W + nyl + 2].set(
+                jnp.where(h.is_top(), dhi, hi))
+        return a
+
+    def _local_step_pallas_strips(self, F, u, v, p, even_step: bool):
+        """One step on the RESIDENT strip-layout blocks: refresh the
+        (W+1) halo bands in place, then ONE strip-streaming kernel launch
+        runs the whole lean step over the local block (the serial strips
+        engine with the shard's global origin as traced SMEM scalars) —
+        beyond-VMEM per-chip blocks keep the serial strips engine's
+        mono-class throughput instead of the tiled loop's slice-bound
+        rate. The kernel stages rows [W2, W2+nxl+8) full-lane: the local
+        block and its ghost ring get fully-valid values, the overwritten
+        band tails are re-refreshed before the next read."""
+        from ..pallas_kernels import pallas_available
+        from ..pallas_kernels.step_kernels import (
+            pallas_fullstep_strips, step_halo_width)
+
+        W = step_halo_width(self.cfg)
+        lay = self._strips_lay_static
+        h = self.halo
+        ext = [self._refresh_halo_strips(x, W, lay) for x in (F, u, v, p)]
+        return pallas_fullstep_strips(
+            self.cfg, *ext, even_step,
+            interpret=not pallas_available(), tx=lay[0],
+            extents=(self.nxl, self.nyl),
+            oi0=h.xi() * self.nxl, oj0=h.yi() * self.nyl)
+
+    # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
     def make_simulate(self):
@@ -541,12 +634,36 @@ class Decomp:
                 "sized for it); backend falls back to 'xla'")
             use_pallas = False
         use_tiled = False
-        if use_pallas and (self._tile is not None
-                           or not self.pallas_shard_supported()):
-            tile = self.shard_tile()
-            if tile is not None:
-                # full block beyond VMEM (or explicit request): stream the
-                # windowed kernel over VMEM-sized tiles of the local block
+        use_strips = False
+        if use_pallas and self._engine == "strips":
+            lay = self.shard_strips_layout()
+            if lay is None:
+                raise ValueError(
+                    f"engine='strips' forced but no strip layout exists "
+                    f"for local blocks {self.nxl}x{self.nyl} "
+                    f"(tx={self._tx})")
+            use_strips = True
+            self._strips_lay_static = lay
+        elif use_pallas and self._engine == "full":
+            if not self.pallas_shard_supported():
+                raise ValueError(
+                    "engine='full' forced but the extended block exceeds "
+                    f"the VMEM envelope for local blocks {self.nxl}x"
+                    f"{self.nyl}")
+        elif use_pallas and (self._tile is not None
+                             or self._engine == "tiled"
+                             or not self.pallas_shard_supported()):
+            # beyond the full-block envelope: prefer the strip-streaming
+            # engine (one launch/step, DMA overlap), then the tiled loop;
+            # an explicit tile=/engine='tiled' request pins the tiled loop
+            lay = None
+            if self._tile is None and self._engine != "tiled":
+                lay = self.shard_strips_layout()
+            if lay is not None:
+                use_strips = True
+                self._strips_lay_static = lay
+            elif (tile := self.shard_tile()) is not None:
+                # stream the windowed kernel over VMEM-sized tiles
                 use_tiled = True
                 self._shard_tile_static = tile
             else:
@@ -569,9 +686,14 @@ class Decomp:
                     f"per-shard windowed kernel unavailable: {why}; using "
                     "the XLA per-shard step")
                 use_pallas = False
-        local = (self._local_step_pallas_tiled if use_tiled
-                 else self._local_step_pallas) if use_pallas \
-            else self._local_step
+        if not use_pallas:
+            local = self._local_step
+        elif use_strips:
+            local = self._local_step_pallas_strips
+        elif use_tiled:
+            local = self._local_step_pallas_tiled
+        else:
+            local = self._local_step_pallas
 
         @partial(jax.jit, static_argnums=(1, 2))
         def run(state: State, n_steps: int, istep0: int = 0) -> State:
@@ -588,7 +710,15 @@ class Decomp:
                 # inputs while the shards read the raw ghosts)
                 rho0, _ = mix_properties(self.cfg.fluid, F)
                 u, v, F, p, _ = self._bc(u, v, F, p, rho0)
-                if use_pallas:
+                if use_strips:
+                    # pad to the strip engine's resident layout ONCE,
+                    # outside the scan; slice back once after it (the
+                    # halo refresh inside each step fills the margins)
+                    lay = self._strips_lay_static
+                    W2 = lay[1]
+                    F, u, v, p = (self._pad_strips_shard(x, lay)
+                                  for x in (F, u, v, p))
+                elif use_pallas:
                     # widen to the resident extended layout ONCE, outside
                     # the scan; slice back once after it
                     from ..pallas_kernels.step_kernels import \
@@ -607,7 +737,11 @@ class Decomp:
                 (F, u, v, p), _ = lax.scan(pair, (F, u, v, p), None, length=n_pairs)
                 if rem:
                     F, u, v, p = local(F, u, v, p, even_step=even1)
-                if use_pallas:
+                if use_strips:
+                    F, u, v, p = (
+                        x[W2:W2 + self.nxl + 2, W2:W2 + self.nyl + 2]
+                        for x in (F, u, v, p))
+                elif use_pallas:
                     F, u, v, p = (x[W:-W, W:-W] for x in (F, u, v, p))
                 return F, u, v, p
 
