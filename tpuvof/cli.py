@@ -41,9 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
                             "pallas_strips"],
                    default="xla",
                    help="step implementation: pure-XLA, fused Pallas phase "
-                        "kernels, the whole-step Pallas mono-kernel, or "
-                        "the tiled mono engine (grids beyond the VMEM "
-                        "envelope; pallas_mono auto-upgrades to it)")
+                        "kernels, the whole-step Pallas mono-kernel, the "
+                        "tiled mono engine, or the strip-streaming engine "
+                        "(one HBM-resident launch/step; beyond the VMEM "
+                        "envelope pallas_mono auto-upgrades to strips, "
+                        "then tiled)")
     p.add_argument("--pressure-solver", choices=["jacobi", "rbsor"],
                    default="jacobi", dest="pressure_solver",
                    help="jacobi = reference-parity fixed sweeps; rbsor = "

@@ -680,8 +680,8 @@ class Decomp:
                 else:
                     why = (f"the W={W}-extended block exceeds the VMEM "
                            f"envelope for local blocks {self.nxl}x"
-                           f"{self.nyl}, and no tile in {{64..1024}} "
-                           "divides them for the tiled engine")
+                           f"{self.nyl}, and no strip height or tile "
+                           "divides them for the streaming engines")
                 warnings.warn(
                     f"per-shard windowed kernel unavailable: {why}; using "
                     "the XLA per-shard step")
