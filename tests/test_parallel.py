@@ -154,6 +154,39 @@ def test_shard_tile_validation():
     assert Decomp(cfg, make_mesh(2, 2)).shard_tile() is None
 
 
+def test_shard_engine_routing_and_validation():
+    """backend='pallas_strips'/'pallas_tiled' must reach their engines
+    through Decomp (they are public CLI choices; a silent XLA fallback
+    here once measured the wrong engine), tx must be a multiple of 8
+    (the strips layout's DMA-alignment + validity-cone invariants), and
+    a forced engine= that cannot run raises instead of degrading."""
+    mesh = make_mesh(2, 2)
+    cfg_s = tv.SimConfig(grid=tv.Grid2D(64, 64),
+                         num=tv.Numerics(backend="pallas_strips"))
+    dec = Decomp(cfg_s, mesh)
+    dec.make_simulate()
+    assert dec._strips_lay_static is not None  # strips engine in play
+
+    cfg_t = cfg_s.replace(num=tv.Numerics(backend="pallas_tiled"))
+    dec = Decomp(cfg_t, mesh)
+    dec.make_simulate()
+    assert dec._shard_tile_static is not None  # tiled engine in play
+
+    with pytest.raises(ValueError, match="multiple of 8"):
+        Decomp(cfg_s, mesh, engine="strips", tx=12).make_simulate()
+    from tpuvof.pallas_kernels.step_kernels import strips_layout_2d
+    with pytest.raises(ValueError, match="multiple of 8"):
+        strips_layout_2d(cfg_s, tx=12)
+
+    # trajectory through the backend-routed strips shard engine
+    state = tv.init_state(cfg_s, ic=1)
+    state = tv.State(*(a.astype(jnp.float64) for a in state))
+    want = tv.simulate(cfg_s.replace(num=tv.Numerics()), state, 3)
+    got = Decomp(cfg_s, mesh).simulate(state, 3)
+    np.testing.assert_allclose(np.asarray(got.F)[1:-1, 1:-1],
+                               np.asarray(want.F)[1:-1, 1:-1], atol=1e-13)
+
+
 def test_distributed_matches_serial_from_non_bc_consistent_state():
     """The serial driver applies apply_bc once at entry before its lean
     steps; the distributed run must do the same (it did not, and a state

@@ -42,6 +42,7 @@ __all__ = [
     "pallas_fullstep_win",
     "pallas_fullstep_strips",
     "strips_layout_2d",
+    "pad_to_strips",
     "step_halo_width",
 ]
 
@@ -704,6 +705,16 @@ def strips_layout_2d(cfg: SimConfig, tx: int | None = None,
              overlap by 8 rows of IDENTICAL fully-valid values, so the
              async out-DMAs may complete in any order)
     """
+    if tx is not None and (tx <= 0 or tx % 8):
+        # the layout's invariants need 8-aligned strip heights: in-DMA
+        # row starts c*Tx must sit on the sublane grid, and the staged
+        # rows [W2, W2+Tx+8) stay inside the validity cone [W, Exp-W)
+        # only because ceil8(Tx+2*W2+2) = Tx+2*W2+8 for 8|Tx — a stray
+        # tx=12 would stage not-fully-valid rows whose 8-row strip
+        # overlaps are no longer identical (nondeterministic out-DMA
+        # completion order would then pick arbitrary winners)
+        raise ValueError(f"strip height tx={tx} must be a positive "
+                         "multiple of 8")
     g = cfg.grid
     rows, lanes = extents if extents is not None else (g.nx, g.ny)
     W = step_halo_width(cfg)
@@ -724,6 +735,17 @@ def strips_layout_2d(cfg: SimConfig, tx: int | None = None,
             P0 = rows - Tx + Exp
             return Tx, W2, P0, P1, Exp, Lout, rows // Tx
     return None
+
+
+def pad_to_strips(lay, a):
+    """Embed a ghost-included block at offset (W2, W2) of the strip
+    engine's (P0, P1) resident layout; the zero surround is inert (out-
+    of-domain junk is sanitized at load; a shard's in-domain margins are
+    halo-refreshed before every kernel). Shared by the serial engine
+    (solver) and the distributed shard engine (parallel.dist)."""
+    _Tx, W2, P0, P1, *_ = lay
+    return jnp.zeros((P0, P1), a.dtype).at[
+        W2:W2 + a.shape[0], W2:W2 + a.shape[1]].set(a)
 
 
 def _fullstep_strips_kernel(oi0_ref, oj0_ref,

@@ -485,7 +485,9 @@ class Decomp:
                     f"tile={self._tile} does not divide local blocks "
                     f"{self.nxl}x{self.nyl}")
             return T
-        if self._engine != "tiled" and self.pallas_shard_supported():
+        if (self._engine != "tiled"
+                and self.cfg.num.backend != "pallas_tiled"
+                and self.pallas_shard_supported()):
             return None  # full-block kernel is strictly better
         return pick_tile_2d(self.nxl, self.nyl, W)
 
@@ -548,15 +550,6 @@ class Decomp:
             return None
         return strips_layout_2d(self.cfg, tx=self._tx,
                                 extents=(self.nxl, self.nyl))
-
-    def _pad_strips_shard(self, a, lay):
-        """Embed a (nxl+2, nyl+2) shard block at offset (W2, W2) of the
-        strip engine's (P0, P1) resident layout (zeros surround — inert:
-        out-of-domain junk is sanitized at load, in-domain margins are
-        refreshed from neighbors before every kernel)."""
-        W2, P0, P1 = lay[1], lay[2], lay[3]
-        return jnp.zeros((P0, P1), a.dtype).at[
-            W2:W2 + a.shape[0], W2:W2 + a.shape[1]].set(a)
 
     def _refresh_halo_strips(self, a, W: int, lay):
         """_refresh_halo_2d's (W+1)-band in-place halo refresh, offset
@@ -623,7 +616,13 @@ class Decomp:
         """Jitted (state, n_steps static) -> state over blocked arrays."""
         spec = P(self.ax, self.ay)
 
-        use_pallas = self.cfg.num.backend in ("pallas", "pallas_mono")
+        use_pallas = self.cfg.num.backend in (
+            "pallas", "pallas_mono", "pallas_tiled", "pallas_strips")
+        # backend='pallas_tiled'/'pallas_strips' are soft preferences
+        # (like the serial engines: warn-fallback when unavailable);
+        # the engine= kwarg is the hard force (raises)
+        prefer = {"pallas_tiled": "tiled",
+                  "pallas_strips": "strips"}.get(self.cfg.num.backend)
         if use_pallas and self.cfg.num.pressure_solver != "jacobi":
             import warnings
 
@@ -652,13 +651,16 @@ class Decomp:
                     f"{self.nyl}")
         elif use_pallas and (self._tile is not None
                              or self._engine == "tiled"
+                             or prefer is not None
                              or not self.pallas_shard_supported()):
-            # beyond the full-block envelope: prefer the strip-streaming
-            # engine (one launch/step, DMA overlap), then the tiled loop;
-            # an explicit tile=/engine='tiled' request pins the tiled loop
-            lay = None
-            if self._tile is None and self._engine != "tiled":
-                lay = self.shard_strips_layout()
+            # beyond the full-block envelope (or a backend-level engine
+            # preference): prefer the strip-streaming engine (one
+            # launch/step, DMA overlap), then the tiled loop; an explicit
+            # tile=/engine='tiled'/backend='pallas_tiled' request pins
+            # the tiled loop
+            want_tiled = (self._tile is not None or self._engine == "tiled"
+                          or prefer == "tiled")
+            lay = None if want_tiled else self.shard_strips_layout()
             if lay is not None:
                 use_strips = True
                 self._strips_lay_static = lay
@@ -666,6 +668,11 @@ class Decomp:
                 # stream the windowed kernel over VMEM-sized tiles
                 use_tiled = True
                 self._shard_tile_static = tile
+            elif self._engine == "tiled":
+                raise ValueError(
+                    "engine='tiled' forced but no tile divides local "
+                    f"blocks {self.nxl}x{self.nyl} within the VMEM "
+                    "envelope")
             else:
                 import warnings
 
@@ -714,9 +721,11 @@ class Decomp:
                     # pad to the strip engine's resident layout ONCE,
                     # outside the scan; slice back once after it (the
                     # halo refresh inside each step fills the margins)
+                    from ..pallas_kernels.step_kernels import pad_to_strips
+
                     lay = self._strips_lay_static
                     W2 = lay[1]
-                    F, u, v, p = (self._pad_strips_shard(x, lay)
+                    F, u, v, p = (pad_to_strips(lay, x)
                                   for x in (F, u, v, p))
                 elif use_pallas:
                     # widen to the resident extended layout ONCE, outside

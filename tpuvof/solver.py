@@ -185,7 +185,7 @@ def effective_backend(cfg: SimConfig) -> str:
     return "xla"
 
 
-def _tile_2d(cfg: SimConfig) -> int | None:
+def _tile_2d(cfg: SimConfig) -> tuple[int, int] | None:
     from .pallas_kernels.step_kernels import pick_tile_2d, step_halo_width
 
     return pick_tile_2d(cfg.grid.nx, cfg.grid.ny, step_halo_width(cfg))
@@ -328,15 +328,6 @@ def _step_pallas_tiled(cfg: SimConfig, state: State, even_step: bool,
     return State(F=Fo, u=uo, v=vo, p=po)
 
 
-def _pad_strips(lay, a):
-    """Embed a (nx+2, ny+2) field at offset (W2, W2) of the strip engine's
-    (P0, P1) padded layout; the surround is zeros (inert junk under the
-    kernel's global-index masks, like the tiled engine's zero pad)."""
-    _Tx, W2, P0, P1, *_ = lay
-    return jnp.zeros((P0, P1), a.dtype).at[
-        W2:W2 + a.shape[0], W2:W2 + a.shape[1]].set(a)
-
-
 def _step_pallas_strips(cfg: SimConfig, state: State, even_step: bool,
                         interpret: bool | None = None,
                         tx: int | None = None) -> State:
@@ -351,6 +342,7 @@ def _step_pallas_strips(cfg: SimConfig, state: State, even_step: bool,
     scan (_simulate_strips)."""
     from .pallas_kernels import pallas_available
     from .pallas_kernels.step_kernels import (
+        pad_to_strips,
         pallas_fullstep_strips,
         strips_layout_2d,
     )
@@ -364,7 +356,7 @@ def _step_pallas_strips(cfg: SimConfig, state: State, even_step: bool,
     F, u, v, p = state
     n0, n1 = F.shape
     out = pallas_fullstep_strips(
-        cfg, *(_pad_strips(lay, a) for a in (F, u, v, p)), even_step,
+        cfg, *(pad_to_strips(lay, a) for a in (F, u, v, p)), even_step,
         interpret=interpret, tx=tx)
     sl = (slice(W2, W2 + n0), slice(W2, W2 + n1))
     Fo, uo, vo, po = (a[sl] for a in out)
@@ -430,6 +422,7 @@ def _simulate_strips(cfg: SimConfig, state: State, n_pairs: int, rem: int,
     point (8 full-field copies, ~10% of a 2048² step)."""
     from .pallas_kernels import pallas_available
     from .pallas_kernels.step_kernels import (
+        pad_to_strips,
         pallas_fullstep_strips,
         strips_layout_2d,
     )
@@ -438,7 +431,7 @@ def _simulate_strips(cfg: SimConfig, state: State, n_pairs: int, rem: int,
     lay = strips_layout_2d(cfg)
     W2 = lay[1]
     n0, n1 = state.F.shape
-    padded = tuple(_pad_strips(lay, a) for a in state)
+    padded = tuple(pad_to_strips(lay, a) for a in state)
 
     def body(arrs, _):
         arrs = pallas_fullstep_strips(cfg, *arrs, even1,
