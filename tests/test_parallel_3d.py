@@ -69,7 +69,8 @@ def test_decomp3d_rejects_bad_mesh():
 def test_distributed_3d_pallas_engine_matches_serial():
     """The wide-halo per-shard slab-kernel engine (backend='pallas') vs the
     serial XLA solver, f64 interpret mode. n_jacobi=2 keeps the dependency
-    cone W = n_jacobi+12 within the 16-plane shards of a 32^3 / px=2 run;
+    cone W (n_jacobi+4, chunk-rounded) within the 16-plane shards of a
+    32^3 / px=2 run;
     4 steps rotate through all three phases, so every sweep axis serves as
     the mirror_out last sweep at least once."""
     g = Grid3D(32, 32, 32)
@@ -133,8 +134,35 @@ def test_distributed_3d_two_axis_matches_serial(px, py, n_steps):
             err_msg=f"{name} {px}x{py}")
 
 
-def test_distributed_3d_two_axis_pallas_falls_back():
+@pytest.mark.parametrize("px,py", [(2, 2), (1, 2), (2, 1)])
+def test_distributed_3d_pencil_pallas_matches_serial(px, py):
+    """The PENCIL pallas engine ((x,y)-decomposed resident wide-halo
+    blocks through the slab kernels with global j masks) vs the serial
+    XLA solver, f64 interpret mode. n_jacobi=2 keeps both cones within
+    the 16-wide shards; 4 steps rotate through all three sweep phases.
+    (1,2) is the y-only decomposition (x refresh a no-op); (2,1) is the
+    forced-pencil degenerate mesh (pencil=True, y refresh a no-op) —
+    the mode the compiled TPU bit-exactness pin runs."""
     g = Grid3D(32, 32, 32)
-    with pytest.warns(UserWarning, match="full y extent"):
-        dec = Decomp3D(g, make_mesh_2d(2, 2), backend="pallas")
-    assert dec.backend == "xla"
+    state = _f64(tv.init_state_3d(g, ic=1))
+    n_steps = 4
+    want = simulate_3d(g, state, n_steps, n_jacobi=2)
+    dec = Decomp3D(g, make_mesh_2d(px, py), n_jacobi=2, backend="pallas",
+                   pencil=True)
+    assert dec.backend == "pallas" and dec.pencil
+    got = dec.simulate(state, n_steps)
+    for name, atol in (("F", 1e-12), ("u", 1e-12), ("v", 1e-12),
+                       ("w", 1e-12), ("p", 1e-8)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name))[1:-1, 1:-1],
+            np.asarray(getattr(want, name))[1:-1, 1:-1], atol=atol,
+            err_msg=f"{name} {px}x{py}")
+
+
+def test_distributed_3d_pencil_pallas_falls_back_when_shards_thin():
+    # ny/py = 8 < Wy+1 = 15 at the default n_jacobi: each y halo would
+    # need columns from more than one neighbor — must warn and fall back
+    g = Grid3D(32, 32, 32)
+    with pytest.warns(UserWarning, match="ny/py"):
+        dec = Decomp3D(g, make_mesh_2d(2, 4), backend="pallas")
+    assert dec.backend == "xla" and not dec.pencil

@@ -223,17 +223,24 @@ def sweep_inplane_masked(g: Grid3D, dt, F, vel, axis: int):
     return jnp.where(int_m, clamp01(Ftd - corr * vol / dv), F)
 
 
-def sweep_masked_2axis(g: Grid3D, dt, F, vel, axis: int, gi0, gj0):
+def sweep_masked_2axis(g: Grid3D, dt, F, vel, axis: int, gi0, gj0,
+                       nj_valid: int | None = None):
     """One Rudman/Zalesak sweep along ``axis`` (0=x, 1=y, 2=z) in
     roll+mask form with GLOBAL index masks on BOTH the i and j axes —
     the sweep kernel of the two-axis (x,y)-decomposed solver
-    (parallel/dist3d.py py>1 engine). Local position (l, m, n) holds
-    global indices (gi0 + l, gj0 + m, n); k (z) is never decomposed.
-    Positions within 3 cells of a block edge along the sweep axis are
-    junk unless that edge is the true wall; non-interior positions carry
-    the input F through. Same limiter chain as sweep_x_masked /
-    sweep_inplane_masked (3dvof.py:366-541) — cross-pinned against the
-    serial sweeps in tests/test_parallel_3d.py."""
+    (parallel/dist3d.py py>1 engines, XLA and pencil-pallas). Local
+    position (l, m, n) holds global indices (gi0 + l, gj0 + m, n); k (z)
+    is never decomposed. Positions within 3 cells of a block edge along
+    the sweep axis are junk unless that edge is the true wall;
+    non-interior positions carry the input F through. Same limiter chain
+    as sweep_x_masked / sweep_inplane_masked (3dvof.py:366-541) —
+    cross-pinned against the serial sweeps in tests/test_parallel_3d.py.
+
+    nj_valid: highest LOCAL row index (inclusive) holding real data —
+    the pencil-pallas kernels run on sublane-padded planes whose pad
+    rows alias INTERIOR global j's on non-edge shards, so the global
+    m_j alone would let roll-wrap junk creep into the pad region (the
+    pad-zero invariant the slab kernels rely on). None = no pad rows."""
     import jax
 
     vol, dv_area, flux_scale, q_scale, final_div = _axis_scales(g, axis)
@@ -243,6 +250,9 @@ def sweep_masked_2axis(g: Grid3D, dt, F, vel, axis: int, gi0, gj0):
     k = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
     m_i = (gi >= 1) & (gi <= g.nx)
     m_j = (gj >= 1) & (gj <= g.ny)
+    if nj_valid is not None:
+        jl = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        m_j = m_j & (jl <= nj_valid)
     m_k = (k >= 1) & (k <= g.nz)
     sw = (gi, gj, k)[axis]
     n_sweep = (g.nx, g.ny, g.nz)[axis]

@@ -44,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..grid import Grid3D
+from .step3d import _gib_vec
 
 __all__ = ["jacobi3d_fits_vmem", "pallas_jacobi_3d"]
 
@@ -54,13 +55,18 @@ def _padded_dims(g: Grid3D):
     return g.nx + 2, n1, n2
 
 
-def _vmem_need(g: Grid3D, b: int, nloc: int | None = None) -> int:
+def _vmem_need(g: Grid3D, b: int, nloc: int | None = None,
+               plane: tuple[int, int] | None = None) -> int:
     """p (aliased in/out) resident + ~36 chunk-block temporaries (measured:
     Mosaic's stack at 200^3/B=4 was 125.3M with rhs also resident, i.e.
-    ~32 blocks beyond the volumes; rhs is now streamed from HBM)."""
+    ~32 blocks beyond the volumes; rhs is now streamed from HBM).
+    plane: padded (n1, n2) override for the pencil engine, whose local
+    planes are smaller than the global ones."""
     n0, n1, n2 = _padded_dims(g)
     if nloc is not None:
         n0 = nloc + 2
+    if plane is not None:
+        n1, n2 = plane
     vol = n0 * n1 * n2 * 4
     # +2 blocks vs the round-2 measurement: the rhs prefetch added a
     # second B-plane buffer slot
@@ -68,13 +74,14 @@ def _vmem_need(g: Grid3D, b: int, nloc: int | None = None) -> int:
 
 
 def _pick_chunk(nx: int, g: Grid3D | None = None,
-                nloc: int | None = None) -> int | None:
+                nloc: int | None = None,
+                plane: tuple[int, int] | None = None) -> int | None:
     """Largest divisor chunk whose working set fits VMEM (smaller chunks
     shrink only the temporaries; p and rhs stay whole-volume). `nx` is the
     plane count being chunked (= nloc when given)."""
     for b in (8, 4, 2, 1):
         if nx % b == 0 and (g is None
-                            or _vmem_need(g, b, nloc) <= 120 * 2**20):
+                            or _vmem_need(g, b, nloc, plane) <= 120 * 2**20):
             return b
     return None
 
@@ -84,7 +91,8 @@ def jacobi3d_fits_vmem(g: Grid3D) -> bool:
 
 
 def _kernel(p_ref, rhs_ref, gib, out_ref, wplane, rhs_buf, sem,
-            *, g: Grid3D, n_iter: int, B: int, nloc: int):
+            *, g: Grid3D, n_iter: int, B: int, nloc: int,
+            njl: int | None = None):
     # rhs_buf has two slots: chunk c+1's rhs DMA is issued before chunk c's
     # compute, hiding the 250 per-chunk-per-iteration HBM waits that
     # serialized the round-1 kernel.
@@ -108,7 +116,17 @@ def _kernel(p_ref, rhs_ref, gib, out_ref, wplane, rhs_buf, sem,
     # edge-zeroed coefficients — interior values never read a nonzero ghost)
     j = lax.broadcasted_iota(jnp.int32, bshape, 1)
     k = lax.broadcasted_iota(jnp.int32, bshape, 2)
-    ghost_jk = (j == 0) | (j >= g.ny + 1) | (k == 0) | (k >= g.nz + 1)
+    if njl is None:
+        # serial/slab: local j IS global j; rows past ny+1 are pad
+        ghost_jk = (j == 0) | (j >= g.ny + 1) | (k == 0) | (k >= g.nz + 1)
+    else:
+        # pencil: block-edge rows (0, njl+1) and the sublane pad are
+        # zeroed like the i block ghosts (never updated; erosion covers
+        # their staleness), true-wall rows (gj 0 / ny+1) sit mid-block
+        gj = j + gib[1]
+        ghost_jk = ((j == 0) | (j >= njl + 1)
+                    | (gj <= 0) | (gj >= g.ny + 1)
+                    | (k == 0) | (k >= g.nz + 1))
     iota0 = lax.broadcasted_iota(jnp.int32, bshape, 0)
 
     def ghost_for(i0):
@@ -151,7 +169,10 @@ def _kernel(p_ref, rhs_ref, gib, out_ref, wplane, rhs_buf, sem,
     cy = jnp.asarray(dyi2, dtype)
     cz = jnp.asarray(dzi2, dtype)
 
-    ey = (j == 1) | (j == g.ny)
+    if njl is None:
+        ey = (j == 1) | (j == g.ny)
+    else:
+        ey = (gj == 1) | (gj == g.ny)
     ez = (k == 1) | (k == g.nz)
 
     def ap_inv_for(i0):
@@ -223,17 +244,20 @@ def _kernel(p_ref, rhs_ref, gib, out_ref, wplane, rhs_buf, sem,
 
 
 def pallas_jacobi_3d(g: Grid3D, n_iter: int, p, rhs, interpret: bool = False,
-                     nloc: int | None = None, gi_base: int = 0):
+                     nloc: int | None = None, gi_base: int = 0,
+                     njl: int | None = None, gj_base=0):
     """p, rhs: full (nloc+2, ny_pad, nz_pad) volumes (serial: nloc = g.nx);
     rhs must be zero outside the global interior. Returns the iterated p
     with a zeroed ghost ring (reconstructed by consumers). nloc/gi_base
-    support the distributed wide-halo caller — see _kernel."""
+    support the distributed wide-halo caller, njl/gj_base the pencil
+    engine — see _kernel."""
     if nloc is None:
         nloc = g.nx
-    B = _pick_chunk(nloc, g, nloc)
     n1p, n2p = p.shape[1], p.shape[2]
+    B = _pick_chunk(nloc, g, nloc,
+                    plane=None if njl is None else (n1p, n2p))
     return pl.pallas_call(
-        partial(_kernel, g=g, n_iter=n_iter, B=B, nloc=nloc),
+        partial(_kernel, g=g, n_iter=n_iter, B=B, nloc=nloc, njl=njl),
         out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -250,4 +274,4 @@ def pallas_jacobi_3d(g: Grid3D, n_iter: int, p, rhs, interpret: bool = False,
         input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=124 * 2**20),
         interpret=interpret,
-    )(p, rhs, jnp.atleast_1d(jnp.asarray(gi_base, jnp.int32)))
+    )(p, rhs, _gib_vec(gi_base, gj_base, njl is not None))

@@ -70,7 +70,11 @@ from ..config import Fluid
 from ..grid import Grid3D
 from ..ops import mix_properties
 from ..ops.common import clamp01
-from ..ops.fct3d import sweep_inplane_masked, sweep_x_masked
+from ..ops.fct3d import (
+    sweep_inplane_masked,
+    sweep_masked_2axis,
+    sweep_x_masked,
+)
 
 __all__ = [
     "step3d_slab_supported",
@@ -135,16 +139,21 @@ def _iota3(shape, axis):
     return lax.broadcasted_iota(jnp.int32, shape, axis)
 
 
-def _bc_fix_uvw(g: Grid3D, u, v, w, gi):
+def _bc_fix_uvw(g: Grid3D, u, v, w, gi, gj=None):
     """Reconstruct set_BC's wall/ghost velocity values (ops/bc.py order:
     y-faces, then x, then z — the order is load-bearing at corners) on
     loaded blocks, so the streamed state never needs a whole-volume XLA BC
     pass between steps (it cost 1.8 ms/step at 200^3, 30% of the step).
     Bit-exact: each fix copies or zeroes exactly the positions set_BC
     writes, in the same order, as a pure function of interior values —
-    which are identical between the paths by induction."""
+    which are identical between the paths by induction.
+
+    gj: GLOBAL j-index array for the (x,y)-pencil engine (local row m
+    holds global j gj_base + m, so the y-wall fixes land mid-block on
+    y-edge shards and nowhere on interior shards). None = serial/slab
+    (local j IS global j) — the trace is unchanged."""
     shape = u.shape
-    j = _iota3(shape, 1)
+    j = _iota3(shape, 1) if gj is None else gj
     k = _iota3(shape, 2)
     jm, km, im = g.ny + 1, g.nz + 1, g.nx + 1
 
@@ -174,12 +183,17 @@ def _bc_fix_uvw(g: Grid3D, u, v, w, gi):
     return u, v, w
 
 
-def _mirror_jk(g: Grid3D, x):
+def _mirror_jk(g: Grid3D, x, gj=None):
     """F ghost mirrors in set_BC's y-then-z face order; the x-face ghost
     planes are whole-plane copies done by the caller's plane DMAs (the
-    orders commute plane-wise, so copy-then-z and z-then-copy agree)."""
+    orders commute plane-wise, so copy-then-z and z-then-copy agree).
+
+    gj: GLOBAL j-index array for the pencil engine — the y mirrors then
+    land only at the true walls (mid-block on y-edge shards); interior
+    shards' block-edge rows are refreshed from neighbors instead. None =
+    serial/slab (unchanged trace)."""
     shape = x.shape
-    j = _iota3(shape, 1)
+    j = _iota3(shape, 1) if gj is None else gj
     k = _iota3(shape, 2)
     x = jnp.where(j == 0, _sh3(x, 0, 1, 0), x)
     x = jnp.where(j == g.ny + 1, _sh3(x, 0, -1, 0), x)
@@ -191,16 +205,24 @@ def _mirror_jk(g: Grid3D, x):
 # ----------------------------------------------------------------------
 # predict3d: materials + momentum predictor + projection rhs
 # ----------------------------------------------------------------------
-def _predict_block(g: Grid3D, fl: Fluid, dt, u, v, w, F, gi0):
+def _predict_block(g: Grid3D, fl: Fluid, dt, u, v, w, F, gi0, gj0=None):
     """Predictor + rhs over an extended block whose plane l has global
     i-index gi0 + l. Returns (us, vs, ws, rhs) in block shape with the XLA
     path's zeros outside the update regions. Planes within stencil reach of
     the block's i-edges are junk; callers only store planes with a full
-    halo."""
+    halo.
+
+    gj0: global j of local row 0, for the pencil engine (the j masks
+    become global; rows near the block's j-edges and in the sublane pad
+    are junk — u*/v*/w*/rhs are per-step intermediates, so the junk is
+    consumed only inside the step's dependency cone and needs no local
+    mask). None = serial/slab (unchanged trace)."""
     shape = F.shape
     dxi, dyi, dzi = g.dxi, g.dyi, g.dzi
     gi = _iota3(shape, 0) + gi0
     j = _iota3(shape, 1)
+    if gj0 is not None:
+        j = j + gj0
     k = _iota3(shape, 2)
     j_int = (j >= 1) & (j <= g.ny)
     k_int = (k >= 1) & (k <= g.nz)
@@ -281,7 +303,8 @@ def _predict_kernel(u_hbm, v_hbm, w_hbm, F_hbm, gib,
                     us_hbm, vs_hbm, ws_hbm, rhs_hbm,
                     ub, vb, wb, Fb, usb, vsb, wsb, rhsb, zplane,
                     sems, osems,
-                    *, g: Grid3D, fl: Fluid, dt, B: int, nloc: int):
+                    *, g: Grid3D, fl: Fluid, dt, B: int, nloc: int,
+                    njl: int | None = None):
     """Double-buffered slab loop. Ext block covers [i0-2, i0+B+2) (B+4
     planes) so the rhs of every stored plane sees a valid u*(i+1);
     first/last chunks use clamped ext ranges whose static in-block offsets
@@ -291,8 +314,13 @@ def _predict_kernel(u_hbm, v_hbm, w_hbm, F_hbm, gib,
     nloc = g.nx, gib = [0]). All masks are global, so the distributed
     wide-halo caller runs the identical kernel on an extended shard block
     (gib is an SMEM scalar because the shard offset is traced under
-    shard_map)."""
+    shard_map).
+
+    njl (pencil engine): local interior j-row count of the y-extended
+    block; local row m holds GLOBAL j gib[1] + m and the j masks become
+    global. None = serial/slab (gib stays a 1-vector, trace unchanged)."""
     gi_base = gib[0]
+    gj0 = gib[1] if njl is not None else None
     n0 = nloc + 2
     nc = nloc // B
     E = B + 4
@@ -338,9 +366,10 @@ def _predict_kernel(u_hbm, v_hbm, w_hbm, F_hbm, gib,
         # between steps (no per-step XLA BC pass) — reconstruct them here
         u_, v_, w_ = ub[pl.ds(s0, E)], vb[pl.ds(s0, E)], wb[pl.ds(s0, E)]
         gi = _iota3(u_.shape, 0) + es + gi_base
-        u_, v_, w_ = _bc_fix_uvw(g, u_, v_, w_, gi)
+        gj = None if gj0 is None else _iota3(u_.shape, 1) + gj0
+        u_, v_, w_ = _bc_fix_uvw(g, u_, v_, w_, gi, gj)
         us, vs, ws, rhs = _predict_block(
-            g, fl, dt, u_, v_, w_, Fb[pl.ds(s0, E)], es + gi_base)
+            g, fl, dt, u_, v_, w_, Fb[pl.ds(s0, E)], es + gi_base, gj0)
 
         # the staging slot was last used by chunk c-2: drain its output DMA
         @pl.when(c >= 2)
@@ -380,10 +409,22 @@ def _predict_kernel(u_hbm, v_hbm, w_hbm, F_hbm, gib,
         d.wait()
 
 
+def _gib_vec(gi_base, gj_base, pencil: bool):
+    """SMEM scalar vector: [gi_base] for the serial/slab kernels (their
+    program signature is unchanged), [gi_base, gj_base] for the pencil
+    engine (both offsets are traced under shard_map)."""
+    if not pencil:
+        return jnp.atleast_1d(jnp.asarray(gi_base, jnp.int32))
+    return jnp.stack([jnp.asarray(gi_base, jnp.int32),
+                      jnp.asarray(gj_base, jnp.int32)])
+
+
 def pallas_predict3d_rhs(g: Grid3D, fl: Fluid, dt, u, v, w, F,
                          interpret: bool = False,
-                         nloc: int | None = None, gi_base: int = 0):
-    """Returns (u_star, v_star, w_star, rhs), all full-shape."""
+                         nloc: int | None = None, gi_base: int = 0,
+                         njl: int | None = None, gj_base=0):
+    """Returns (u_star, v_star, w_star, rhs), all full-shape. njl/gj_base:
+    pencil engine (see _predict_kernel)."""
     if nloc is None:
         nloc = g.nx
     B = _pick_chunk(nloc)
@@ -392,7 +433,7 @@ def pallas_predict3d_rhs(g: Grid3D, fl: Fluid, dt, u, v, w, F,
     plane = F.shape[1:]
     blk = lambda n: pltpu.VMEM((n, *plane), F.dtype)  # noqa: E731
     return pl.pallas_call(
-        partial(_predict_kernel, g=g, fl=fl, dt=dt, B=B, nloc=nloc),
+        partial(_predict_kernel, g=g, fl=fl, dt=dt, B=B, nloc=nloc, njl=njl),
         out_shape=(shape,) * 4,
         in_specs=_any_specs(4)
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM)],
@@ -406,7 +447,7 @@ def pallas_predict3d_rhs(g: Grid3D, fl: Fluid, dt, u, v, w, F,
         ],
         compiler_params=_vmem_params(52 * E * plane[0] * plane[1] * 4),
         interpret=interpret,
-    )(u, v, w, F, jnp.atleast_1d(jnp.asarray(gi_base, jnp.int32)))
+    )(u, v, w, F, _gib_vec(gi_base, gj_base, njl is not None))
 
 
 # ----------------------------------------------------------------------
@@ -418,11 +459,17 @@ def _correct_kernel(us_hbm, vs_hbm, ws_hbm, p_hbm, F_hbm, gib,
                     u_hbm, v_hbm, w_hbm,
                     usb, vsb, wsb, pb, Fb, ub, vb, wb, zplane,
                     sems, osems,
-                    *, g: Grid3D, fl: Fluid, dt, B: int, nloc: int):
+                    *, g: Grid3D, fl: Fluid, dt, B: int, nloc: int,
+                    njl: int | None = None):
     """Double-buffered; all chunks are uniform (p/F carry a one-plane west
-    halo, ext [i0-1, i0+B+1) stays in bounds at both ends). nloc/gib:
-    see _predict_kernel."""
+    halo, ext [i0-1, i0+B+1) stays in bounds at both ends). nloc/gib/njl:
+    see _predict_kernel. In pencil mode the stored u/v/w additionally
+    mask the sublane-pad rows to zero — u/v/w PERSIST across steps and
+    the pad is never refreshed, so junk there would compound (the
+    pad-zero invariant); block-edge rows are sacrificial like the
+    i-block edges (refreshed from neighbors every step)."""
     gi_base = gib[0]
+    gj0 = gib[1] if njl is not None else None
     n0 = nloc + 2
     nc = nloc // B
     E1 = B + 1
@@ -471,7 +518,12 @@ def _correct_kernel(us_hbm, vs_hbm, ws_hbm, p_hbm, F_hbm, gib,
         gi = _iota3(shape, 0) + i0 + gi_base
         j = _iota3(shape, 1)
         k = _iota3(shape, 2)
-        j_int = (j >= 1) & (j <= g.ny)
+        if gj0 is None:
+            gj = j
+            j_int = (j >= 1) & (j <= g.ny)
+        else:
+            gj = j + gj0
+            j_int = (gj >= 1) & (gj <= g.ny) & (j <= njl + 1)
         k_int = (k >= 1) & (k <= g.nz)
         i_int = (gi >= 1) & (gi <= g.nx)
 
@@ -487,10 +539,14 @@ def _correct_kernel(us_hbm, vs_hbm, ws_hbm, p_hbm, F_hbm, gib,
             for i in range(3):
                 out_dma(slot, c - 2, i).wait()
 
+        if gj0 is None:
+            v_mask = i_int & (j >= 2) & (j <= g.ny) & k_int
+        else:
+            v_mask = i_int & (gj >= 2) & (gj <= g.ny) & (j <= njl + 1) \
+                & k_int
         ub[pl.ds(sB, B)] = jnp.where(
             (gi >= 2) & (gi <= g.nx) & j_int & k_int, u, 0.0)
-        vb[pl.ds(sB, B)] = jnp.where(
-            i_int & (j >= 2) & (j <= g.ny) & k_int, v, 0.0)
+        vb[pl.ds(sB, B)] = jnp.where(v_mask, v, 0.0)
         wb[pl.ds(sB, B)] = jnp.where(
             i_int & j_int & (k >= 2) & (k <= g.nz), w, 0.0)
 
@@ -515,10 +571,11 @@ def _correct_kernel(us_hbm, vs_hbm, ws_hbm, p_hbm, F_hbm, gib,
 
 def pallas_correct3d(g: Grid3D, fl: Fluid, dt, u_star, v_star, w_star, p, F,
                      interpret: bool = False,
-                     nloc: int | None = None, gi_base: int = 0):
+                     nloc: int | None = None, gi_base: int = 0,
+                     njl: int | None = None, gj_base=0):
     """Returns (u, v, w): zero outside the update regions — wall faces and
     ghosts are reconstructed by the consumers (predict's in-block BC) or
-    the simulate-exit BC."""
+    the simulate-exit BC. njl/gj_base: pencil engine (see _predict_kernel)."""
     if nloc is None:
         nloc = g.nx
     B = _pick_chunk(nloc)
@@ -526,7 +583,7 @@ def pallas_correct3d(g: Grid3D, fl: Fluid, dt, u_star, v_star, w_star, p, F,
     plane = F.shape[1:]
     blk = lambda n: pltpu.VMEM((n, *plane), F.dtype)  # noqa: E731
     return pl.pallas_call(
-        partial(_correct_kernel, g=g, fl=fl, dt=dt, B=B, nloc=nloc),
+        partial(_correct_kernel, g=g, fl=fl, dt=dt, B=B, nloc=nloc, njl=njl),
         out_shape=(shape,) * 3,
         in_specs=_any_specs(5)
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM)],
@@ -541,7 +598,7 @@ def pallas_correct3d(g: Grid3D, fl: Fluid, dt, u_star, v_star, w_star, p, F,
         compiler_params=_vmem_params(44 * (B + 1) * plane[0] * plane[1] * 4),
         interpret=interpret,
     )(u_star, v_star, w_star, p, F,
-      jnp.atleast_1d(jnp.asarray(gi_base, jnp.int32)))
+      _gib_vec(gi_base, gj_base, njl is not None))
 
 
 # ----------------------------------------------------------------------
@@ -575,7 +632,8 @@ def _ghost_planes_out(nloc, F_hbm, out_hbm, gplane, sems, osems, mirror_out):
 
 def _fct_x_kernel(F_hbm, u_hbm, gib, out_hbm, Fb, ubuf, ob, gplane,
                   sems, osems,
-                  *, g: Grid3D, dt, B: int, mirror_out: bool, nloc: int):
+                  *, g: Grid3D, dt, B: int, mirror_out: bool, nloc: int,
+                  njl: int | None = None):
     """x-sweep: shifts run along the slab axis, so chunks carry a 3-plane
     halo (ext block E = B+6). First/last chunks clamp the ext range; their
     static in-block offsets (1/3/5) are selected by predicated staging
@@ -585,8 +643,13 @@ def _fct_x_kernel(F_hbm, u_hbm, gib, out_hbm, Fb, ubuf, ob, gplane,
     5 HBM round trips per 3-step cycle instead of 9) measured ~5% SLOWER
     at 128^3/200^3 on the v5e — the round trips it saves are already
     hidden behind compute by the double buffering — so the sweeps stay
-    three separate kernels (git history has the fused implementation)."""
+    three separate kernels (git history has the fused implementation).
+
+    njl: pencil engine (see _predict_kernel) — the sweep runs the
+    two-axis-masked limiter body with the sublane-pad rows held at the
+    input F (zero, the pad invariant)."""
     gi_base = gib[0]
+    gj0 = gib[1] if njl is not None else None
     n0 = nloc + 2
     nc = nloc // B
     E = B + 6
@@ -624,12 +687,18 @@ def _fct_x_kernel(F_hbm, u_hbm, gib, out_hbm, Fb, ubuf, ob, gplane,
 
         F = Fb[pl.ds(slot * E, E)]
         vel = ubuf[pl.ds(slot * E, E)]
-        f_new = sweep_x_masked(g, dt, F, vel, ext_start(c) + gi_base)
+        if njl is None:
+            f_new = sweep_x_masked(g, dt, F, vel, ext_start(c) + gi_base)
+        else:
+            f_new = sweep_masked_2axis(g, dt, F, vel, 0,
+                                       ext_start(c) + gi_base, gj0,
+                                       nj_valid=njl + 1)
         if mirror_out:
             # last sweep of the step: write fresh j/k ghost mirrors of the
             # swept F (stands in for the step's final BC on F; the sweeps
             # of the NEXT step will read exactly these)
-            f_new = _mirror_jk(g, f_new)
+            gj = None if gj0 is None else _iota3(f_new.shape, 1) + gj0
+            f_new = _mirror_jk(g, f_new, gj)
 
         @pl.when(c >= 2)
         def _():
@@ -657,11 +726,20 @@ def _fct_x_kernel(F_hbm, u_hbm, gib, out_hbm, Fb, ubuf, ob, gplane,
                       mirror_out)
 
 
-def _fct_yz_kernel(F_hbm, vel_hbm, out_hbm, Fb, vbuf, ob, gplane,
-                   sems, osems, *, g: Grid3D, axis: int, dt, B: int,
-                   mirror_out: bool, nloc: int):
+def _fct_yz_kernel(F_hbm, vel_hbm, *rest, g: Grid3D, axis: int, dt, B: int,
+                   mirror_out: bool, nloc: int, njl: int | None = None):
     """y- or z-sweep: shifts are in-plane (sublane/lane rolls), so chunks
-    need no i-halo at all. Double-buffered."""
+    need no i-halo at all. Double-buffered.
+
+    njl (pencil engine): the serial kernel takes no scalar input (the
+    in-plane limiter needs no i-position); pencil mode adds the
+    [gi_base, gj_base] SMEM vector — the two-axis-masked limiter body
+    needs BOTH global offsets."""
+    if njl is None:
+        gib = None
+        out_hbm, Fb, vbuf, ob, gplane, sems, osems = rest
+    else:
+        gib, out_hbm, Fb, vbuf, ob, gplane, sems, osems = rest
     n0 = nloc + 2
     nc = nloc // B
 
@@ -692,10 +770,18 @@ def _fct_yz_kernel(F_hbm, vel_hbm, out_hbm, Fb, vbuf, ob, gplane,
         for i in range(2):
             in_dma(slot, c, i).wait()
 
-        f_new = sweep_inplane_masked(g, dt, Fb[pl.ds(slot * B, B)],
-                                     vbuf[pl.ds(slot * B, B)], axis)
-        if mirror_out:
-            f_new = _mirror_jk(g, f_new)
+        if njl is None:
+            f_new = sweep_inplane_masked(g, dt, Fb[pl.ds(slot * B, B)],
+                                         vbuf[pl.ds(slot * B, B)], axis)
+            f_new = _mirror_jk(g, f_new) if mirror_out else f_new
+        else:
+            f_new = sweep_masked_2axis(g, dt, Fb[pl.ds(slot * B, B)],
+                                       vbuf[pl.ds(slot * B, B)], axis,
+                                       1 + c * B + gib[0], gib[1],
+                                       nj_valid=njl + 1)
+            if mirror_out:
+                gj = _iota3(f_new.shape, 1) + gib[1]
+                f_new = _mirror_jk(g, f_new, gj)
 
         @pl.when(c >= 2)
         def _():
@@ -716,12 +802,14 @@ def _fct_yz_kernel(F_hbm, vel_hbm, out_hbm, Fb, vbuf, ob, gplane,
 
 def pallas_fct3d_sweep(g: Grid3D, dt, F, vel, axis: int,
                        interpret: bool = False, mirror_out: bool = False,
-                       nloc: int | None = None, gi_base: int = 0):
+                       nloc: int | None = None, gi_base: int = 0,
+                       njl: int | None = None, gj_base=0):
     """One Rudman FCT sweep along `axis` (0=x, 1=y, 2=z) with the
     reference's literal (non-uniform) scale factors — see ops/fct3d.py.
     mirror_out=True (the step's last sweep) writes fresh ghost mirrors of
     the swept F — the step's final BC on F — instead of passing the input
-    ghosts through. nloc/gi_base: see _predict_kernel."""
+    ghosts through. nloc/gi_base: see _predict_kernel; njl/gj_base:
+    pencil engine."""
     if nloc is None:
         nloc = g.nx
     B = _pick_chunk(nloc)
@@ -732,7 +820,7 @@ def pallas_fct3d_sweep(g: Grid3D, dt, F, vel, axis: int,
         E = B + 6
         return pl.pallas_call(
             partial(_fct_x_kernel, g=g, dt=dt, B=B, mirror_out=mirror_out,
-                    nloc=nloc),
+                    nloc=nloc, njl=njl),
             out_shape=shape,
             in_specs=_any_specs(2)
             + [pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM)],
@@ -744,12 +832,18 @@ def pallas_fct3d_sweep(g: Grid3D, dt, F, vel, axis: int,
             ],
             compiler_params=_vmem_params(38 * E * plane[0] * plane[1] * 4),
             interpret=interpret,
-        )(F, vel, jnp.atleast_1d(jnp.asarray(gi_base, jnp.int32)))
+        )(F, vel, _gib_vec(gi_base, gj_base, njl is not None))
+    in_specs = _any_specs(2)
+    operands = [F, vel]
+    if njl is not None:
+        in_specs = in_specs + [
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM)]
+        operands.append(_gib_vec(gi_base, gj_base, True))
     return pl.pallas_call(
         partial(_fct_yz_kernel, g=g, axis=axis, dt=dt, B=B,
-                mirror_out=mirror_out, nloc=nloc),
+                mirror_out=mirror_out, nloc=nloc, njl=njl),
         out_shape=shape,
-        in_specs=_any_specs(2),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
             blk(2 * B), blk(2 * B), blk(2 * B), blk(1),
@@ -758,4 +852,4 @@ def pallas_fct3d_sweep(g: Grid3D, dt, F, vel, axis: int,
         ],
         compiler_params=_vmem_params(38 * B * plane[0] * plane[1] * 4),
         interpret=interpret,
-    )(F, vel)
+    )(*operands)

@@ -68,11 +68,16 @@ def _shift_x(sl, axis_name: str, n: int, up: bool):
 
 class Decomp3D:
     """Domain decomposition of a 3-D grid: x slabs over a 1-axis mesh, or
-    (x, y) pencils over a 2-axis mesh (XLA engine only — the slab kernels
-    stream x-slabs of whole (y, z) planes, so backend='pallas' requires
-    the 1-axis mesh and a 2-axis mesh falls back with a warning; the
+    (x, y) pencils over a 2-axis mesh. Both have an XLA engine (the
     pencil sweeps use ops/fct3d.sweep_masked_2axis with global-index
-    masks on both decomposed axes).
+    masks on both decomposed axes) and a resident wide-halo pallas
+    engine: on a 2-axis mesh the slab kernels run in PENCIL mode — every
+    j mask goes global through a second traced offset (gj_base) exactly
+    like the i masks did for slabs, the resident block is W-extended in
+    x AND Wy-extended in y (Wy = n_jacobi + 4, the same minimal cone —
+    no chunk rounding, chunks are x-only), and the per-step refresh runs
+    an x stage then a y stage over the refreshed x halos so corner halos
+    arrive without diagonal communication.
 
     backend='pallas' runs the whole per-shard step on the slab-tiled
     kernels (pallas_kernels/step3d.py, jacobi3d.py) on a RESIDENT
@@ -105,7 +110,8 @@ class Decomp3D:
 
     def __init__(self, g: Grid3D, mesh: Mesh, fl: Fluid | None = None,
                  dt: float = 4e-6, n_jacobi: int = 10,
-                 backend: str = "xla", halo_width: int | None = None):
+                 backend: str = "xla", halo_width: int | None = None,
+                 pencil: bool = False):
         axes = tuple(mesh.axis_names)
         if len(axes) not in (1, 2):
             raise ValueError(
@@ -123,18 +129,20 @@ class Decomp3D:
                 f"{self.px}x{self.py}")
         self.nxl = g.nx // self.px
         self.nyl = g.ny // self.py
-        if backend == "pallas" and self.py > 1:
-            import warnings
-
-            warnings.warn(
-                "Decomp3D backend='pallas' needs the full y extent per "
-                "shard (the slab kernels stream x-slabs of whole (y,z) "
-                "planes); a 2-axis mesh uses the XLA engine.")
-            backend = "xla"
         self.fl = fl or Fluid()
         self.dt = dt
         self.n_jacobi = n_jacobi
         self.backend = backend
+        # pencil mode: the slab kernels with GLOBAL j masks on a
+        # y-extended resident block (required for py > 1 with pallas;
+        # pencil=True forces it on a py == 1 two-axis mesh, where the
+        # refresh is a no-op — the bit-exactness pin of tests_tpu)
+        if pencil and self.ay is None:
+            raise ValueError("pencil=True needs a 2-axis mesh")
+        self.pencil = backend == "pallas" and self.ay is not None \
+            and (self.py > 1 or bool(pencil))
+        self.Wy = 0
+        self.nyE = self.nyl
         if backend == "pallas":
             # minimal cone (see class docstring); halo_width overrides for
             # A/B benchmarking only
@@ -167,18 +175,34 @@ class Decomp3D:
             # each (W+1)-plane halo must come from ONE neighbor's owned
             # planes
             ok = ok and W + 1 <= self.nxl
+            # pencil: minimal y cone (the y stencils mirror the x ones:
+            # rhs invalid at the outermost row, n_jacobi erosions, p at
+            # j-1, 3-row FCT y-sweep), no chunk rounding (chunks are in
+            # x only; planes are sublane-padded regardless)
+            self.Wy = n_jacobi + 4 if self.pencil else 0
+            self.nyE = self.nyl + 2 * self.Wy
+            if self.pencil:
+                ok = ok and self.Wy + 1 <= self.nyl
             if ok:
                 from ..pallas_kernels.jacobi3d import _pick_chunk as _jpick
 
-                ok = _jpick(self.nloc, g, self.nloc) is not None
+                plane = None
+                if self.pencil:
+                    plane = (self.nyE + 2 + (-(self.nyE + 2)) % 8,
+                             g.nz + 2 + (-(g.nz + 2)) % 128)
+                ok = _jpick(self.nloc, g, self.nloc, plane=plane) is not None
             if not ok:
                 import warnings
 
                 warnings.warn(
                     f"Decomp3D backend='pallas' needs even nx/px > "
-                    f"W={W} (nx/px={self.nxl}) and the extended pressure "
-                    "volume VMEM-resident; using the XLA engine.")
+                    f"W={W} (nx/px={self.nxl})"
+                    + (f", ny/py > Wy={self.Wy} (ny/py={self.nyl})"
+                       if self.pencil else "")
+                    + " and the extended pressure volume VMEM-resident; "
+                    "using the XLA engine.")
                 self.backend = "xla"
+                self.pencil = False
         self._run = None
 
     # ---- shard coordinates (traced inside shard_map) ----
@@ -424,6 +448,22 @@ class Decomp3D:
         hi = jnp.where(self._is_right(), zero, hi)
         return jnp.concatenate([lo, a, hi], axis=0)
 
+    def _widen_Wy(self, a):
+        """The y twin of _widen_W for the pencil engine: [lo(Wy), a,
+        hi(Wy)] along axis 1, on the UNPADDED local block (the sublane
+        pad is appended after). Same index algebra as _widen_W with
+        (nyl, Wy, ay) in place of (nxl, W, ax)."""
+        Wy, nyl = self.Wy, self.nyl
+        if self.py == 1:
+            z = jnp.zeros(a.shape[:1] + (Wy,) + a.shape[2:], a.dtype)
+            return jnp.concatenate([z, a, z], axis=1)
+        lo = _shift_x(a[:, nyl - Wy: nyl], self.ay, self.py, up=True)
+        hi = _shift_x(a[:, 2: Wy + 2], self.ay, self.py, up=False)
+        zero = jnp.zeros_like(lo)
+        lo = jnp.where(self._is_bottom(), zero, lo)
+        hi = jnp.where(self._is_top(), zero, hi)
+        return jnp.concatenate([lo, a, hi], axis=1)
+
     def _refresh_halo(self, a):
         """In-place halo refresh on a resident extended block: overwrite
         the (W+1) outermost planes per side with the neighbor's owned
@@ -432,16 +472,32 @@ class Decomp3D:
         halo [0, W] holds global planes [s*nxl - W, s*nxl] = the LAST
         W+1 owned planes of shard s-1, which live at its block indices
         [nxl, nxl+W]; symmetrically for the high side. Edge shards keep
-        their beyond-wall junk (inert under the global-index masks)."""
-        if self.px == 1:
-            return a
-        W, nxl = self.W, self.nxl
-        lo = _shift_x(a[nxl: nxl + W + 1], self.ax, self.px, up=True)
-        hi = _shift_x(a[W + 1: 2 * W + 2], self.ax, self.px, up=False)
-        a = a.at[: W + 1].set(
-            jnp.where(self._is_left(), a[: W + 1], lo))
-        a = a.at[W + nxl + 1:].set(
-            jnp.where(self._is_right(), a[W + nxl + 1:], hi))
+        their beyond-wall junk (inert under the global-index masks).
+
+        Pencil engine: a second stage refreshes the (Wy+1) outermost
+        COLUMNS per side along y, over the full x extent INCLUDING the
+        just-refreshed x halos — so corner halo data lands correctly
+        without diagonal communication (cf. _exchange). Explicit end
+        indices keep the sublane pad columns untouched."""
+        if self.px > 1:
+            W, nxl = self.W, self.nxl
+            lo = _shift_x(a[nxl: nxl + W + 1], self.ax, self.px, up=True)
+            hi = _shift_x(a[W + 1: 2 * W + 2], self.ax, self.px, up=False)
+            a = a.at[: W + 1].set(
+                jnp.where(self._is_left(), a[: W + 1], lo))
+            a = a.at[W + nxl + 1:].set(
+                jnp.where(self._is_right(), a[W + nxl + 1:], hi))
+        if self.pencil and self.py > 1:
+            Wy, nyl = self.Wy, self.nyl
+            lo = _shift_x(a[:, nyl: nyl + Wy + 1], self.ay, self.py,
+                          up=True)
+            hi = _shift_x(a[:, Wy + 1: 2 * Wy + 2], self.ay, self.py,
+                          up=False)
+            a = a.at[:, : Wy + 1].set(
+                jnp.where(self._is_bottom(), a[:, : Wy + 1], lo))
+            a = a.at[:, Wy + nyl + 1: 2 * Wy + nyl + 2].set(
+                jnp.where(self._is_top(),
+                          a[:, Wy + nyl + 1: 2 * Wy + nyl + 2], hi))
         return a
 
     def _local_step_pallas(self, F, u, v, w, p, phase: int):
@@ -463,24 +519,28 @@ class Decomp3D:
         interpret = _jax.default_backend() == "cpu"
         g, W, nloc, nxl = self.g, self.W, self.nloc, self.nxl
         gi_base = self._xi() * nxl - W
+        kw = {}
+        if self.pencil:
+            kw = dict(njl=self.nyE,
+                      gj_base=self._yi() * self.nyl - self.Wy)
 
         Fx, ux, vx, wx, pxx = (self._refresh_halo(a)
                                for a in (F, u, v, w, p))
         us, vs, ws, rhs = pallas_predict3d_rhs(
             g, self.fl, self.dt, ux, vx, wx, Fx,
-            interpret=interpret, nloc=nloc, gi_base=gi_base)
+            interpret=interpret, nloc=nloc, gi_base=gi_base, **kw)
         pj = pallas_jacobi_3d(
             g, self.n_jacobi, pxx, rhs,
-            interpret=interpret, nloc=nloc, gi_base=gi_base)
+            interpret=interpret, nloc=nloc, gi_base=gi_base, **kw)
         uo, vo, wo = pallas_correct3d(
             g, self.fl, self.dt, us, vs, ws, pj, Fx,
-            interpret=interpret, nloc=nloc, gi_base=gi_base)
+            interpret=interpret, nloc=nloc, gi_base=gi_base, **kw)
         vels = (uo, vo, wo)
         Fo = Fx
         for idx, axn in enumerate(_SWEEP_ORDER3[phase]):
             Fo = pallas_fct3d_sweep(
                 g, self.dt, Fo, vels[axn], axn, interpret=interpret,
-                mirror_out=(idx == 2), nloc=nloc, gi_base=gi_base)
+                mirror_out=(idx == 2), nloc=nloc, gi_base=gi_base, **kw)
         # global-wall F ghost planes sit mid-block (the in-plane sweeps
         # processed them); restore the fresh mirror the serial mirror_out
         # writes — the stale-mirror feed the next step's sweeps depend on
@@ -554,7 +614,16 @@ class Decomp3D:
                     u, v, w, F, p = self._bc(u, v, w, F, p)
                     from ..solver3d import _pad_jk
 
-                    pj, pk = _pad_jk(self.g)
+                    if self.pencil:
+                        # y-widen BEFORE the sublane pad (the pad must
+                        # land beyond the high halo), with LOCAL pad
+                        # amounts — the pencil planes are (nyE+2, nz+2)
+                        F, u, v, w, p = (
+                            self._widen_Wy(a) for a in (F, u, v, w, p))
+                        pj = (-(self.nyE + 2)) % 8
+                        pk = (-(self.g.nz + 2)) % 128
+                    else:
+                        pj, pk = _pad_jk(self.g)
                     F, u, v, w, p = (
                         jnp.pad(a, ((0, 0), (0, pj), (0, pk)))
                         for a in (F, u, v, w, p))
@@ -579,8 +648,9 @@ class Decomp3D:
                     # slice the resident extended block back to the narrow
                     # local layout ONCE (center nxl planes + block ghosts)
                     sl = slice(self.W, self.W + self.nxl + 2)
-                    n1p, n2p = self.g.ny + 2, self.g.nz + 2
-                    F, u, v, w, p = (a[sl, :n1p, :n2p] for a in carry)
+                    sy = slice(self.Wy, self.Wy + self.nyl + 2)
+                    n2p = self.g.nz + 2
+                    F, u, v, w, p = (a[sl, sy, :n2p] for a in carry)
                     # exit BC: u/v/w/p ghost parity of the returned state
                     u, v, w, F, p = self._bc(u, v, w, F, p)
                     carry = (F, u, v, w, p)
