@@ -159,6 +159,27 @@ def test_distributed_3d_pencil_pallas_matches_serial(px, py):
             err_msg=f"{name} {px}x{py}")
 
 
+def test_distributed_3d_pencil_pallas_minimal_shards_pad_alias():
+    """Adversarial pencil geometry: ny/py == Wy+1 exactly (the minimum
+    the admission check allows), where the bottom shard's sublane-pad
+    rows alias global j == ny+1 — the aliasing that would let the
+    mirror_out y-mirror write junk into the persistent F pad without
+    _mirror_jk's local row bound. Parity vs serial must still hold."""
+    g = Grid3D(16, 14, 16, Ly=0.1 * 14 / 16)  # cubic cells (validate())
+    state = _f64(tv.init_state_3d(g, ic=1))
+    n_steps = 4
+    want = simulate_3d(g, state, n_steps, n_jacobi=2)
+    dec = Decomp3D(g, make_mesh_2d(1, 2), n_jacobi=2, backend="pallas")
+    assert dec.backend == "pallas" and dec.pencil and dec.nyl == dec.Wy + 1
+    got = dec.simulate(state, n_steps)
+    for name, atol in (("F", 1e-12), ("u", 1e-12), ("v", 1e-12),
+                       ("w", 1e-12), ("p", 1e-8)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name))[1:-1, 1:-1],
+            np.asarray(getattr(want, name))[1:-1, 1:-1], atol=atol,
+            err_msg=name)
+
+
 def test_distributed_3d_pencil_pallas_falls_back_when_shards_thin():
     # ny/py = 8 < Wy+1 = 15 at the default n_jacobi: each y halo would
     # need columns from more than one neighbor — must warn and fall back

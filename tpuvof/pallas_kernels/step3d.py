@@ -183,20 +183,28 @@ def _bc_fix_uvw(g: Grid3D, u, v, w, gi, gj=None):
     return u, v, w
 
 
-def _mirror_jk(g: Grid3D, x, gj=None):
+def _mirror_jk(g: Grid3D, x, gj=None, njl=None):
     """F ghost mirrors in set_BC's y-then-z face order; the x-face ghost
     planes are whole-plane copies done by the caller's plane DMAs (the
     orders commute plane-wise, so copy-then-z and z-then-copy agree).
 
     gj: GLOBAL j-index array for the pencil engine — the y mirrors then
     land only at the true walls (mid-block on y-edge shards); interior
-    shards' block-edge rows are refreshed from neighbors instead. None =
-    serial/slab (unchanged trace)."""
+    shards' block-edge rows are refreshed from neighbors instead. njl
+    bounds the writes to the non-pad rows: a near-top pencil's sublane
+    pad rows can alias gj == ny+1 (e.g. nyl == Wy+1), and F is
+    PERSISTENT state whose pad must stay zero. None = serial/slab
+    (unchanged trace)."""
     shape = x.shape
-    j = _iota3(shape, 1) if gj is None else gj
     k = _iota3(shape, 2)
-    x = jnp.where(j == 0, _sh3(x, 0, 1, 0), x)
-    x = jnp.where(j == g.ny + 1, _sh3(x, 0, -1, 0), x)
+    if gj is None:
+        j = _iota3(shape, 1)
+        x = jnp.where(j == 0, _sh3(x, 0, 1, 0), x)
+        x = jnp.where(j == g.ny + 1, _sh3(x, 0, -1, 0), x)
+    else:
+        lv = _iota3(shape, 1) <= njl + 1
+        x = jnp.where((gj == 0) & lv, _sh3(x, 0, 1, 0), x)
+        x = jnp.where((gj == g.ny + 1) & lv, _sh3(x, 0, -1, 0), x)
     x = jnp.where(k == 0, _sh3(x, 0, 0, 1), x)
     x = jnp.where(k == g.nz + 1, _sh3(x, 0, 0, -1), x)
     return x
@@ -698,7 +706,7 @@ def _fct_x_kernel(F_hbm, u_hbm, gib, out_hbm, Fb, ubuf, ob, gplane,
             # swept F (stands in for the step's final BC on F; the sweeps
             # of the NEXT step will read exactly these)
             gj = None if gj0 is None else _iota3(f_new.shape, 1) + gj0
-            f_new = _mirror_jk(g, f_new, gj)
+            f_new = _mirror_jk(g, f_new, gj, njl)
 
         @pl.when(c >= 2)
         def _():
@@ -781,7 +789,7 @@ def _fct_yz_kernel(F_hbm, vel_hbm, *rest, g: Grid3D, axis: int, dt, B: int,
                                        nj_valid=njl + 1)
             if mirror_out:
                 gj = _iota3(f_new.shape, 1) + gib[1]
-                f_new = _mirror_jk(g, f_new, gj)
+                f_new = _mirror_jk(g, f_new, gj, njl)
 
         @pl.when(c >= 2)
         def _():

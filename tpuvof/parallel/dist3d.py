@@ -139,6 +139,9 @@ class Decomp3D:
         # refresh is a no-op — the bit-exactness pin of tests_tpu)
         if pencil and self.ay is None:
             raise ValueError("pencil=True needs a 2-axis mesh")
+        if pencil and backend != "pallas":
+            raise ValueError("pencil=True forces the pallas pencil engine"
+                             f"; backend={backend!r} cannot honor it")
         self.pencil = backend == "pallas" and self.ay is not None \
             and (self.py > 1 or bool(pencil))
         self.Wy = 0
@@ -188,8 +191,8 @@ class Decomp3D:
 
                 plane = None
                 if self.pencil:
-                    plane = (self.nyE + 2 + (-(self.nyE + 2)) % 8,
-                             g.nz + 2 + (-(g.nz + 2)) % 128)
+                    pj, pk = self._pencil_pad()
+                    plane = (self.nyE + 2 + pj, g.nz + 2 + pk)
                 ok = _jpick(self.nloc, g, self.nloc, plane=plane) is not None
             if not ok:
                 import warnings
@@ -203,7 +206,17 @@ class Decomp3D:
                     "using the XLA engine.")
                 self.backend = "xla"
                 self.pencil = False
+                self.Wy = 0
+                self.nyE = self.nyl
         self._run = None
+
+    def _pencil_pad(self):
+        """Sublane/lane pad of the pencil block's LOCAL planes — the one
+        formula both the __init__ VMEM feasibility check and the runtime
+        pad in make_simulate use (if they diverged, the constructor would
+        validate one plane shape and the kernels would run another,
+        surfacing only as a remote Mosaic compile failure)."""
+        return (-(self.nyE + 2)) % 8, (-(self.g.nz + 2)) % 128
 
     # ---- shard coordinates (traced inside shard_map) ----
     def _xi(self):
@@ -436,33 +449,16 @@ class Decomp3D:
         in place mid-block: for interior shards they hold REAL neighbor
         plane values, for edge shards the wall mirrors. lo/hi ship the
         next W planes outward from the neighbors; zeros beyond the walls
-        are inert under the kernels' global-index masks."""
-        W, nxl = self.W, self.nxl
-        if self.px == 1:
-            z = jnp.zeros((W,) + a.shape[1:], a.dtype)
-            return jnp.concatenate([z, a, z], axis=0)
-        lo = _shift_x(a[nxl - W: nxl], self.ax, self.px, up=True)
-        hi = _shift_x(a[2: W + 2], self.ax, self.px, up=False)
-        zero = jnp.zeros_like(lo)
-        lo = jnp.where(self._is_left(), zero, lo)
-        hi = jnp.where(self._is_right(), zero, hi)
-        return jnp.concatenate([lo, a, hi], axis=0)
+        are inert under the kernels' global-index masks. Same slice
+        algebra as the XLA engine's _widen (a[-2-w:-2] IS a[nxl-w:nxl]),
+        so this is that helper at the resident width."""
+        return self._widen(a, self.W)
 
     def _widen_Wy(self, a):
-        """The y twin of _widen_W for the pencil engine: [lo(Wy), a,
-        hi(Wy)] along axis 1, on the UNPADDED local block (the sublane
-        pad is appended after). Same index algebra as _widen_W with
-        (nyl, Wy, ay) in place of (nxl, W, ax)."""
-        Wy, nyl = self.Wy, self.nyl
-        if self.py == 1:
-            z = jnp.zeros(a.shape[:1] + (Wy,) + a.shape[2:], a.dtype)
-            return jnp.concatenate([z, a, z], axis=1)
-        lo = _shift_x(a[:, nyl - Wy: nyl], self.ay, self.py, up=True)
-        hi = _shift_x(a[:, 2: Wy + 2], self.ay, self.py, up=False)
-        zero = jnp.zeros_like(lo)
-        lo = jnp.where(self._is_bottom(), zero, lo)
-        hi = jnp.where(self._is_top(), zero, hi)
-        return jnp.concatenate([lo, a, hi], axis=1)
+        """The y twin for the pencil engine: [lo(Wy), a, hi(Wy)] along
+        axis 1, on the UNPADDED local block (the sublane pad is appended
+        after) — _widen_y at the resident width."""
+        return self._widen_y(a, self.Wy)
 
     def _refresh_halo(self, a):
         """In-place halo refresh on a resident extended block: overwrite
@@ -620,8 +616,7 @@ class Decomp3D:
                         # amounts — the pencil planes are (nyE+2, nz+2)
                         F, u, v, w, p = (
                             self._widen_Wy(a) for a in (F, u, v, w, p))
-                        pj = (-(self.nyE + 2)) % 8
-                        pk = (-(self.g.nz + 2)) % 128
+                        pj, pk = self._pencil_pad()
                     else:
                         pj, pk = _pad_jk(self.g)
                     F, u, v, w, p = (
