@@ -112,6 +112,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run domain-decomposed over a PXxPY device mesh "
                         "(shard_map + ppermute halo exchange); grid must "
                         "divide evenly. PX*PY <= len(jax.devices())")
+    p.add_argument("--plan-mesh", type=int, default=0, metavar="N",
+                   dest="plan_mesh",
+                   help="print the ranked (PX, PY) mesh shapes for this "
+                        "grid at N chips (admission + relative-cost "
+                        "model; pure shape math, needs no devices) and "
+                        "exit")
     return p
 
 
@@ -358,6 +364,23 @@ def run_advection(args) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.plan_mesh:
+        # pure shape math — no backend touch, so it works anywhere
+        import tpuvof as tv
+        from .parallel import format_plans, plan_mesh_2d, plan_mesh_3d
+
+        if args.three_d:
+            from .grid import Grid3D
+
+            g = Grid3D(args.nx, args.nx, args.nx)  # run_3d is cubic too
+            plans = plan_mesh_3d(g, args.plan_mesh, n_jacobi=args.jacobi)
+        else:
+            cfg = tv.SimConfig(
+                grid=tv.Grid2D(args.nx, args.ny or args.nx),
+                num=tv.Numerics(n_jacobi=args.jacobi))
+            plans = plan_mesh_2d(cfg, args.plan_mesh)
+        print(format_plans(plans))
+        return 0
     if args.case:
         return run_advection(args)
     if args.optimize_case:

@@ -66,6 +66,74 @@ def _shift_x(sl, axis_name: str, n: int, up: bool):
     return lax.ppermute(sl, axis_name, perm)
 
 
+def _pad_planes(nyE: int, nz: int) -> tuple[int, int]:
+    """Sublane/lane pad of a (nyE+2, nz+2) local plane (cf.
+    solver3d._pad_jk for the global-plane case)."""
+    return (-(nyE + 2)) % 8, (-(nz + 2)) % 128
+
+
+def pallas_admission_3d(g: Grid3D, px: int, py: int, n_jacobi: int = 10,
+                        halo_width: int | None = None,
+                        pencil: bool | None = None) -> dict:
+    """Pure admission + geometry of the 3-D pallas engines for a px x py
+    decomposition — the single source Decomp3D.__init__ and the mesh
+    planner (parallel/plan.py) consult. Requires nx % px == ny % py == 0
+    (callers check divisibility first). Returns a dict:
+
+      ok       — whether backend='pallas' is admitted at this shape
+      pencil   — which engine the shape implies (py > 1, or forced)
+      W, nloc  — x cone + extended interior plane count (chunk-rounded)
+      Wy, nyE  — y cone + extended interior row count (0 / nyl if slab)
+      B        — admitted Jacobi chunk thickness (None if not ok)
+      plane    — padded local plane dims the chunked Jacobi would run
+      why      — human-readable reason when not ok
+    """
+    from ..pallas_kernels.jacobi3d import _pick_chunk as _jpick
+    from ..pallas_kernels.step3d import _pick_chunk as _spick
+
+    nxl, nyl = g.nx // px, g.ny // py
+    use_pencil = (py > 1) if pencil is None else bool(pencil)
+    W = halo_width if halo_width is not None else n_jacobi + 4
+    # nxl + 2W must be a slab-chunk multiple (B in {8,4,2} with >= 3
+    # chunks; B=8 preferred — fewer, larger DMAs won the A/B at 200^3,
+    # BASELINE.md). 2W only shifts the residue by even amounts, so odd
+    # nxl can never satisfy it (checked first: the rounding loop would
+    # not terminate).
+    ok = nxl % 2 == 0
+    if ok:
+        def round_W(W, mod):
+            while (nxl + 2 * W) % mod or _spick(nxl + 2 * W) is None:
+                W += 1
+            return W
+
+        W8 = round_W(W, 8)
+        W = W8 if W8 + 1 <= nxl else round_W(W, 4)
+    nloc = nxl + 2 * W
+    # each (W+1)-plane halo must come from ONE neighbor's owned planes
+    ok = ok and W + 1 <= nxl
+    # pencil: minimal y cone (the y stencils mirror the x ones: rhs
+    # invalid at the outermost row, n_jacobi erosions, p at j-1, 3-row
+    # FCT y-sweep), no chunk rounding (chunks are x-only; planes are
+    # sublane-padded regardless)
+    Wy = n_jacobi + 4 if use_pencil else 0
+    nyE = nyl + 2 * Wy
+    if use_pencil:
+        ok = ok and Wy + 1 <= nyl
+    pj, pk = _pad_planes(nyE, g.nz)
+    plane = (nyE + 2 + pj, g.nz + 2 + pk)
+    B = None
+    if ok:
+        B = _jpick(nloc, g, nloc, plane=plane if use_pencil else None)
+        ok = B is not None
+    why = ""
+    if not ok:
+        why = (f"needs even nx/px > W={W} (nx/px={nxl})"
+               + (f", ny/py > Wy={Wy} (ny/py={nyl})" if use_pencil else "")
+               + " and the extended pressure volume VMEM-resident")
+    return dict(ok=ok, pencil=use_pencil, W=W, nloc=nloc, Wy=Wy, nyE=nyE,
+                B=B, plane=plane, why=why)
+
+
 class Decomp3D:
     """Domain decomposition of a 3-D grid: x slabs over a 1-axis mesh, or
     (x, y) pencils over a 2-axis mesh. Both have an XLA engine (the
@@ -147,63 +215,15 @@ class Decomp3D:
         self.Wy = 0
         self.nyE = self.nyl
         if backend == "pallas":
-            # minimal cone (see class docstring); halo_width overrides for
-            # A/B benchmarking only
-            W = halo_width if halo_width is not None else n_jacobi + 4
-            # nxl + 2W must be a slab-chunk multiple (B in {8,4,2} with
-            # >= 3 chunks; B=8 vs 4 measured as noise, BASELINE.md); 2W
-            # only shifts the residue by even amounts, so odd nxl can
-            # never satisfy it (checked first: the rounding loop would
-            # not terminate)
-            ok = self.nxl % 2 == 0
-            if ok:
-                from ..pallas_kernels.step3d import _pick_chunk as _spick
-
-                def round_W(W, mod):
-                    while (self.nxl + 2 * W) % mod or \
-                            _spick(self.nxl + 2 * W) is None:
-                        W += 1
-                    return W
-
-                # prefer B=8 slabs: measured 1.888e9 vs 1.760e9 CUPS at
-                # 200^3 1x1 for W=16/nloc=232 (B=8) vs W=14/nloc=228
-                # (B=4) — fewer, larger DMAs win even with more
-                # redundant planes (scripts/tpu_dist3d_ab.py). Fall back
-                # to B=4 rounding when the extra planes would push W
-                # past the one-neighbor limit.
-                W8 = round_W(W, 8)
-                W = W8 if W8 + 1 <= self.nxl else round_W(W, 4)
-            self.W = W
-            self.nloc = self.nxl + 2 * W
-            # each (W+1)-plane halo must come from ONE neighbor's owned
-            # planes
-            ok = ok and W + 1 <= self.nxl
-            # pencil: minimal y cone (the y stencils mirror the x ones:
-            # rhs invalid at the outermost row, n_jacobi erosions, p at
-            # j-1, 3-row FCT y-sweep), no chunk rounding (chunks are in
-            # x only; planes are sublane-padded regardless)
-            self.Wy = n_jacobi + 4 if self.pencil else 0
-            self.nyE = self.nyl + 2 * self.Wy
-            if self.pencil:
-                ok = ok and self.Wy + 1 <= self.nyl
-            if ok:
-                from ..pallas_kernels.jacobi3d import _pick_chunk as _jpick
-
-                plane = None
-                if self.pencil:
-                    pj, pk = self._pencil_pad()
-                    plane = (self.nyE + 2 + pj, g.nz + 2 + pk)
-                ok = _jpick(self.nloc, g, self.nloc, plane=plane) is not None
-            if not ok:
+            adm = pallas_admission_3d(g, self.px, self.py, n_jacobi,
+                                      halo_width, pencil=self.pencil)
+            self.W, self.nloc = adm["W"], adm["nloc"]
+            self.Wy, self.nyE = adm["Wy"], adm["nyE"]
+            if not adm["ok"]:
                 import warnings
 
-                warnings.warn(
-                    f"Decomp3D backend='pallas' needs even nx/px > "
-                    f"W={W} (nx/px={self.nxl})"
-                    + (f", ny/py > Wy={self.Wy} (ny/py={self.nyl})"
-                       if self.pencil else "")
-                    + " and the extended pressure volume VMEM-resident; "
-                    "using the XLA engine.")
+                warnings.warn(f"Decomp3D backend='pallas' {adm['why']}; "
+                              "using the XLA engine.")
                 self.backend = "xla"
                 self.pencil = False
                 self.Wy = 0
@@ -212,11 +232,11 @@ class Decomp3D:
 
     def _pencil_pad(self):
         """Sublane/lane pad of the pencil block's LOCAL planes — the one
-        formula both the __init__ VMEM feasibility check and the runtime
+        formula the admission check (pallas_admission_3d) and the runtime
         pad in make_simulate use (if they diverged, the constructor would
         validate one plane shape and the kernels would run another,
         surfacing only as a remote Mosaic compile failure)."""
-        return (-(self.nyE + 2)) % 8, (-(self.g.nz + 2)) % 128
+        return _pad_planes(self.nyE, self.g.nz)
 
     # ---- shard coordinates (traced inside shard_map) ----
     def _xi(self):
