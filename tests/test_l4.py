@@ -297,6 +297,32 @@ def test_cli_mesh_distributed_run(tmp_path):
     assert any(f.endswith("-f.png") for f in os.listdir(tmp_path))
 
 
+def test_cli_mesh_checkpoint_and_resume(tmp_path):
+    """Distributed runs honor --checkpoint-every like serial ones (the
+    failure-recovery artifact at scale), and the checkpoint resumes
+    EXACTLY: a 2+2 distributed run through a checkpoint equals a
+    straight 4-step distributed run (gathered state + istep carry the
+    sweep schedule across the restart)."""
+    rc = cli.main(["-ic", "1", "--nx", "16", "--steps", "4",
+                   "--frame-every", "2", "--mesh", "2,2", "--no-frames",
+                   "--checkpoint-every", "2", "--outdir", str(tmp_path)])
+    assert rc == 0
+    ck = os.path.join(str(tmp_path), "ckpt_000002.npz")
+    assert os.path.exists(ck)
+
+    out2 = tmp_path / "resumed"
+    rc = cli.main(["--resume", ck, "--nx", "16", "--steps", "2",
+                   "--frame-every", "2", "--mesh", "2,2", "--no-frames",
+                   "--checkpoint-every", "2", "--outdir", str(out2)])
+    assert rc == 0
+    import numpy as np
+
+    a = np.load(os.path.join(str(tmp_path), "ckpt_000004.npz"))
+    b = np.load(os.path.join(str(out2), "ckpt_000004.npz"))
+    for k in ("F", "u", "v", "p"):
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 def test_cli_optimize_view_every(tmp_path):
     """--view-every N writes current-vs-target frames from INSIDE each
     epoch's forward (the reference's in-forward rendering cadence,

@@ -159,6 +159,35 @@ def test_distributed_3d_pencil_pallas_matches_serial(px, py):
             err_msg=f"{name} {px}x{py}")
 
 
+def test_distributed_3d_pencil_from_non_bc_consistent_state():
+    """Both pallas drivers BC once at entry (CLAUDE.md invariant): a
+    state whose ghost planes are NOT mirror-consistent (painted/
+    hand-built) must track the serial PALLAS path — the canonical ICs
+    pass trivially because their ghosts equal their mirrors. (The XLA
+    oracle is wrong here by design: the reference's step order runs the
+    predictor on the RAW entry ghosts before its first set_BC, so from
+    an inconsistent entry the XLA and pallas families legitimately
+    differ on step 1; from the BC'd state they are pinned equal
+    everywhere else in this file.) 2-D twin:
+    tests/test_parallel.py::test_distributed_matches_serial_from_non_bc_consistent_state."""
+    g = Grid3D(32, 32, 32)
+    s = _f64(tv.init_state_3d(g, ic=1))
+    F = s.F.at[0, :, :].add(0.01).at[:, -1, :].add(-0.02)
+    u = s.u.at[:, 0, :].add(1e-3)
+    s0 = tv.State3D(F=F, u=u, v=s.v, w=s.w, p=s.p)
+    n_steps = 3
+    want = simulate_3d(g, s0, n_steps, n_jacobi=2, backend="pallas")
+    dec = Decomp3D(g, make_mesh_2d(2, 2), n_jacobi=2, backend="pallas")
+    assert dec.pencil
+    got = dec.simulate(s0, n_steps)
+    for name, atol in (("F", 1e-12), ("u", 1e-12), ("v", 1e-12),
+                       ("w", 1e-12), ("p", 1e-8)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name))[1:-1, 1:-1],
+            np.asarray(getattr(want, name))[1:-1, 1:-1], atol=atol,
+            err_msg=name)
+
+
 def test_distributed_3d_pencil_pallas_minimal_shards_pad_alias():
     """Adversarial pencil geometry: ny/py == Wy+1 exactly (the minimum
     the admission check allows), where the bottom shard's sublane-pad

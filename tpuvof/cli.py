@@ -166,6 +166,16 @@ def run_distributed(args, cfg, state, istep) -> int:
                 os.path.join(args.outdir, f"{frame_idx:06d}-f.png"),
                 np.asarray(state.F), cfg.grid.Lx, cfg.grid.Ly)
             frame_idx += 1
+        if args.checkpoint_every and istep % args.checkpoint_every == 0:
+            # same artifact as the serial path: a --resume of it (with
+            # or without --mesh, any mesh shape) continues the run —
+            # the checkpoint holds the GATHERED state + istep, so the
+            # sweep schedule and frame numbering carry over
+            from .io_utils import save_checkpoint
+
+            path = os.path.join(args.outdir, f"ckpt_{istep:06d}.npz")
+            save_checkpoint(path, cfg, state, istep)
+            print(f">>> checkpoint saved: {path}")
     wall = time.time() - t0
     cups = cfg.grid.nx * cfg.grid.ny * args.steps / wall
     print(f">>> {args.steps} steps in {wall:.2f}s on {px}x{py} mesh "
