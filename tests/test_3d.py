@@ -189,3 +189,50 @@ def test_pallas_3d_step_fuzz(seed, n):
                 atol=1e-11 if name != "p" else 1e-7,
                 err_msg=f"{name} ph{phase} seed{seed} n{n}")
         state = a  # chain: next phase fuzzes from an evolved state
+
+
+def test_rbsor_3d_beats_fixed_jacobi_and_stays_stable():
+    """3-D twin of tests/test_parity.py::test_rbsor_beats_fixed_jacobi:
+    the residual-driven RB-SOR reaches a residual orders below the
+    reference's fixed sweeps on the same system, and the full solver
+    stays physical on it (the reference's 3-D loop also runs fixed 10
+    Jacobi sweeps, 3dvof.py:598-623)."""
+    from tpuvof.solver3d import _neigh_3d, _poisson_coeffs_3d, _rbsor_3d
+
+    g = Grid3D(16, 16, 16)
+    rng = np.random.default_rng(7)
+    rhs = jnp.asarray(rng.standard_normal((16, 16, 16)))
+    rhs = rhs - jnp.mean(rhs)  # solvable (pure-Neumann) part
+    p0 = jnp.zeros((18, 18, 18))
+    coeffs = _poisson_coeffs_3d(g, p0.dtype)
+    ap_inv = coeffs[-1]
+    ap = 1.0 / ap_inv
+
+    def resid(p):
+        r = _neigh_3d(g, coeffs, p, rhs) - ap * p[1:-1, 1:-1, 1:-1]
+        r = r - jnp.mean(r)
+        return float(jnp.max(jnp.abs(r)))
+
+    # the reference's fixed 10 Jacobi sweeps
+    p_j = p0
+    for _ in range(10):
+        p_j = p_j.at[1:-1, 1:-1, 1:-1].set(
+            _neigh_3d(g, coeffs, p_j, rhs) * ap_inv)
+    p_s = _rbsor_3d(g, p0, rhs, omega=1.7, tol=1e-6 * resid(p0),
+                    max_iter=5000)
+    assert resid(p_s) < 1e-4 * resid(p_j), (resid(p_j), resid(p_s))
+
+    state = init_state_3d(g, ic=1)
+    out = simulate_3d(g, state, 6, pressure_solver="rbsor", sor_tol=1e-4,
+                      sor_max_iter=500)
+    F = np.asarray(out.F)
+    assert np.isfinite(F).all() and F.min() >= 0.0 and F.max() <= 1.0
+
+
+def test_rbsor_3d_with_pallas_backend_falls_back():
+    g = Grid3D(32, 32, 32)
+    state = init_state_3d(g, ic=1)
+    with pytest.warns(UserWarning, match="fixed-iteration Jacobi"):
+        out = simulate_3d(g, state, 1, backend="pallas",
+                          pressure_solver="rbsor", sor_max_iter=20)
+    assert np.isfinite(np.asarray(out.F)).all()

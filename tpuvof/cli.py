@@ -220,7 +220,8 @@ def run_3d(args) -> int:
         else:
             mesh = Mesh(np.array(devs[:px]), ("mx",))
         dec = Decomp3D(g, mesh, dt=args.dt, n_jacobi=args.jacobi,
-                       backend=backend)
+                       backend=backend,
+                       pressure_solver=args.pressure_solver)
     os.makedirs(args.outdir, exist_ok=True)
     print(f">>> 3-D VOF dam break: {n}^3, dt = {args.dt:4.2e}, "
           f"{args.steps} steps, VTK every {args.frame_every}"
@@ -236,7 +237,8 @@ def run_3d(args) -> int:
             # istep0 keeps the reference's continuous istep % 3 sweep
             # rotation across frame chunks
             state = simulate_3d(g, state, k, args.dt, args.jacobi,
-                                backend=backend, istep0=done)
+                                backend=backend, istep0=done,
+                                pressure_solver=args.pressure_solver)
         done += k
         F = np.asarray(state.F)
         print(f">>> Exporting step-{done:05d} result... "

@@ -179,7 +179,9 @@ class Decomp3D:
     def __init__(self, g: Grid3D, mesh: Mesh, fl: Fluid | None = None,
                  dt: float = 4e-6, n_jacobi: int = 10,
                  backend: str = "xla", halo_width: int | None = None,
-                 pencil: bool = False):
+                 pencil: bool = False, pressure_solver: str = "jacobi",
+                 sor_omega: float = 1.7, sor_tol: float = 1e-3,
+                 sor_max_iter: int = 200):
         axes = tuple(mesh.axis_names)
         if len(axes) not in (1, 2):
             raise ValueError(
@@ -200,6 +202,19 @@ class Decomp3D:
         self.fl = fl or Fluid()
         self.dt = dt
         self.n_jacobi = n_jacobi
+        self.pressure_solver = pressure_solver
+        self.sor_omega = sor_omega
+        self.sor_tol = sor_tol
+        self.sor_max_iter = sor_max_iter
+        if backend == "pallas" and pressure_solver != "jacobi":
+            import warnings
+
+            warnings.warn(
+                f"pressure_solver={pressure_solver!r} needs the XLA "
+                "per-shard engine (the slab kernels implement the "
+                "fixed-iteration Jacobi, and their dependency cone is "
+                "sized for it); backend falls back to 'xla'")
+            backend = "xla"
         self.backend = backend
         # pencil mode: the slab kernels with GLOBAL j masks on a
         # y-extended resident block (required for py > 1 with pallas;
@@ -351,7 +366,21 @@ class Decomp3D:
         return ex(u), ex(v), ex(w), ex(F), ex(p)
 
     # ---- distributed pressure solve ----
-    def _solve_pressure(self, p, us, vs, ws, rho):
+    def _gsum(self, x):
+        s = lax.psum(jnp.sum(x), self.ax)
+        if self.ay is not None:
+            s = lax.psum(s, self.ay)
+        return s
+
+    def _gmax(self, x):
+        m = lax.pmax(jnp.max(x), self.ax)
+        if self.ay is not None:
+            m = lax.pmax(m, self.ay)
+        return m
+
+    def _poisson_local(self, p, us, vs, ws, rho):
+        """Per-shard rhs + 7-point coefficients (Neumann edges zeroed at
+        the GLOBAL walls via the shard-position masks)."""
         g = self.g
         I = (slice(1, -1),) * 3
         rhs = rho[I] / self.dt * (
@@ -374,20 +403,82 @@ class Decomp3D:
         af = jnp.where(lk == g.nz - 1, zero, dzi2)
         ab = jnp.where(lk == 0, zero, dzi2)
         ap_inv = -1.0 / (ae + aw + an + a_s + ab + af)
+        return rhs, (ae, aw, an, a_s, af, ab, ap_inv)
+
+    @staticmethod
+    def _neigh(p, rhs, coeffs):
+        ae, aw, an, a_s, af, ab, _ = coeffs
+        return (
+            rhs
+            - ae * p[2:, 1:-1, 1:-1]
+            - aw * p[:-2, 1:-1, 1:-1]
+            - an * p[1:-1, 2:, 1:-1]
+            - a_s * p[1:-1, :-2, 1:-1]
+            - af * p[1:-1, 1:-1, 2:]
+            - ab * p[1:-1, 1:-1, :-2]
+        )
+
+    def _solve_pressure(self, p, us, vs, ws, rho):
+        rhs, coeffs = self._poisson_local(p, us, vs, ws, rho)
+        if self.pressure_solver == "rbsor":
+            return self._solve_pressure_rbsor(p, rhs, coeffs)
+        I = (slice(1, -1),) * 3
+        ap_inv = coeffs[-1]
 
         def body(_, p):
-            p_int = (
-                rhs
-                - ae * p[2:, 1:-1, 1:-1]
-                - aw * p[:-2, 1:-1, 1:-1]
-                - an * p[1:-1, 2:, 1:-1]
-                - a_s * p[1:-1, :-2, 1:-1]
-                - af * p[1:-1, 1:-1, 2:]
-                - ab * p[1:-1, 1:-1, :-2]
-            ) * ap_inv
+            p_int = self._neigh(p, rhs, coeffs) * ap_inv
             return self._exchange(p.at[I].set(p_int))
 
         return lax.fori_loop(0, self.n_jacobi, body, p, unroll=True)
+
+    def _solve_pressure_rbsor(self, p, rhs, coeffs):
+        """Distributed 3-D red-black SOR with the on-device residual stop
+        — the 3-D twin of parallel/dist.py::_solve_pressure_rbsor: one
+        halo exchange per half-sweep, the rhs nullspace projection as a
+        psum-mean, the stopping residual as psum-mean + pmax so every
+        shard takes the identical trip count, and red/black parity at
+        GLOBAL (i+j+k) indices so the sweep updates the same cells as
+        the serial solver3d._rbsor_3d (pinned at 1e-12 f64 by
+        tests/test_parallel_3d.py)."""
+        g = self.g
+        npts = g.nx * g.ny * g.nz
+        rhs = rhs - self._gsum(rhs) / npts
+        ap_inv = coeffs[-1]
+        ap = 1.0 / ap_inv
+        I = (slice(1, -1),) * 3
+        shape = (self.nxl, self.nyl, g.nz)
+        gi = lax.broadcasted_iota(jnp.int32, shape, 0) \
+            + self._xi() * self.nxl
+        gj = lax.broadcasted_iota(jnp.int32, shape, 1) \
+            + self._yi() * self.nyl
+        gk = lax.broadcasted_iota(jnp.int32, shape, 2)
+        red = (gi + gj + gk) % 2 == 0
+        omega = self.sor_omega
+
+        def half_sweep(p, mask):
+            gs = self._neigh(p, rhs, coeffs) * ap_inv
+            p_int = p[I]
+            upd = p_int + omega * (gs - p_int)
+            return self._exchange(
+                p.at[I].set(jnp.where(mask, upd, p_int)))
+
+        def resid(p):
+            r = self._neigh(p, rhs, coeffs) - ap * p[I]
+            r = r - self._gsum(r) / npts
+            return self._gmax(jnp.abs(r))
+
+        def cond(carry):
+            p, it = carry
+            return (it < self.sor_max_iter) & (resid(p) > self.sor_tol)
+
+        def body(carry):
+            p, it = carry
+            p = half_sweep(p, red)
+            p = half_sweep(p, ~red)
+            return p, it + 1
+
+        p, _ = lax.while_loop(cond, body, (p, jnp.zeros((), jnp.int32)))
+        return p
 
     # ---- the per-shard step ----
     def _local_step(self, F, u, v, w, p, phase: int):

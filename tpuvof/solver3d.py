@@ -44,28 +44,81 @@ def _poisson_coeffs_3d(g: Grid3D, dtype):
     return tuple(x.astype(dtype) for x in (ae, aw, an, a_s, af, ab, ap_inv))
 
 
-def _solve_pressure_3d(g: Grid3D, dt, n_iter, p, u_star, v_star, w_star, rho):
+def _rhs_3d(g: Grid3D, dt, u_star, v_star, w_star, rho):
     I = (slice(1, -1),) * 3
-    rhs = rho[I] / dt * (
+    return rho[I] / dt * (
         (u_star[2:, 1:-1, 1:-1] - u_star[I]) * g.dxi
         + (v_star[1:-1, 2:, 1:-1] - v_star[I]) * g.dyi
         + (w_star[1:-1, 1:-1, 2:] - w_star[I]) * g.dzi
     )
-    ae, aw, an, a_s, af, ab, ap_inv = _poisson_coeffs_3d(g, p.dtype)
+
+
+def _neigh_3d(g: Grid3D, coeffs, p, rhs):
+    ae, aw, an, a_s, af, ab, _ = coeffs
+    return (
+        rhs
+        - ae * p[2:, 1:-1, 1:-1]
+        - aw * p[:-2, 1:-1, 1:-1]
+        - an * p[1:-1, 2:, 1:-1]
+        - a_s * p[1:-1, :-2, 1:-1]
+        - af * p[1:-1, 1:-1, 2:]
+        - ab * p[1:-1, 1:-1, :-2]
+    )
+
+
+def _solve_pressure_3d(g: Grid3D, dt, n_iter, p, u_star, v_star, w_star, rho):
+    rhs = _rhs_3d(g, dt, u_star, v_star, w_star, rho)
+    coeffs = _poisson_coeffs_3d(g, p.dtype)
+    ap_inv = coeffs[-1]
+    I = (slice(1, -1),) * 3
 
     def body(_, p):
-        p_int = (
-            rhs
-            - ae * p[2:, 1:-1, 1:-1]
-            - aw * p[:-2, 1:-1, 1:-1]
-            - an * p[1:-1, 2:, 1:-1]
-            - a_s * p[1:-1, :-2, 1:-1]
-            - af * p[1:-1, 1:-1, 2:]
-            - ab * p[1:-1, 1:-1, :-2]
-        ) * ap_inv
-        return p.at[I].set(p_int)
+        return p.at[I].set(_neigh_3d(g, coeffs, p, rhs) * ap_inv)
 
     return jax.lax.fori_loop(0, n_iter, body, p, unroll=True)
+
+
+def _rbsor_3d(g: Grid3D, p, rhs, omega: float, tol: float, max_iter: int):
+    """3-D red-black SOR with the on-device residual stop — the same
+    upgrade path over the reference's fixed Jacobi sweeps that
+    ops/poisson._rbsor gives the 2-D solver (the reference's 3-D loop
+    also runs fixed 10 sweeps, 3dvof.py:598-623): coloring on
+    (i+j+k) % 2, the rhs nullspace projected out (pure-Neumann system;
+    pressure is defined up to a constant), `lax.while_loop` exits when
+    max|Ap - rhs| <= tol. Not differentiable (while_loop); the diff
+    path keeps the fixed-iteration solvers."""
+    rhs = rhs - jnp.mean(rhs)
+    coeffs = _poisson_coeffs_3d(g, p.dtype)
+    ap_inv = coeffs[-1]
+    ap = 1.0 / ap_inv
+    I = (slice(1, -1),) * 3
+    red = ((np.arange(g.nx)[:, None, None]
+            + np.arange(g.ny)[None, :, None]
+            + np.arange(g.nz)[None, None, :]) % 2 == 0)
+
+    def half_sweep(p, mask):
+        gs = _neigh_3d(g, coeffs, p, rhs) * ap_inv
+        p_int = p[I]
+        upd = p_int + omega * (gs - p_int)
+        return p.at[I].set(jnp.where(mask, upd, p_int))
+
+    def resid(p):
+        r = _neigh_3d(g, coeffs, p, rhs) - ap * p[I]
+        r = r - jnp.mean(r)
+        return jnp.max(jnp.abs(r))
+
+    def cond(carry):
+        p, it = carry
+        return (it < max_iter) & (resid(p) > tol)
+
+    def body(carry):
+        p, it = carry
+        p = half_sweep(p, red)
+        p = half_sweep(p, ~red)
+        return p, it + 1
+
+    p, _ = jax.lax.while_loop(cond, body, (p, jnp.zeros((), jnp.int32)))
+    return p
 
 
 _SWEEP_ORDER = {0: (0, 1, 2), 1: (1, 2, 0), 2: (2, 0, 1)}
@@ -212,13 +265,27 @@ def pallas3d_supported(g: Grid3D) -> bool:
 
 
 def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
-            state: State3D, phase: int, backend: str = "xla") -> State3D:
+            state: State3D, phase: int, backend: str = "xla",
+            pressure_solver: str = "jacobi", sor_omega: float = 1.7,
+            sor_tol: float = 1e-3, sor_max_iter: int = 200) -> State3D:
     """One step; ``phase`` = istep % 3 selects the sweep rotation
     (3dvof.py:351-363; the main loop pre-increments istep, so the first
     step runs phase 1). backend='pallas' runs the slab-tiled kernel
     pipeline (any grid with even nx that fits the Jacobi VMEM envelope,
     up to ~220^3); unsupported grids fall back to the XLA path with a
-    warning."""
+    warning. pressure_solver='rbsor' swaps the reference-parity fixed
+    Jacobi sweeps for the residual-driven red-black SOR upgrade
+    (_rbsor_3d; XLA path only — the slab kernels implement the fixed
+    iteration, so backend='pallas' falls back with a warning, exactly
+    like the 2-D engines)."""
+    if backend == "pallas" and pressure_solver != "jacobi":
+        import warnings
+
+        warnings.warn(
+            f"pressure_solver={pressure_solver!r} needs the XLA path "
+            "(the slab kernels implement the fixed-iteration Jacobi); "
+            "backend falls back to 'xla'")
+        backend = "xla"
     if backend == "pallas":
         if pallas3d_supported(g):
             return _step_3d_pallas(g, fl, dt, n_jacobi, state, phase)
@@ -237,7 +304,12 @@ def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
         g, fl, dt, u, v, w, F, rho, nu, kappa
     )
     u, v, w, F, p, rho = apply_bc_3d(u, v, w, F, p, rho)
-    p = _solve_pressure_3d(g, dt, n_jacobi, p, u_star, v_star, w_star, rho)
+    if pressure_solver == "rbsor":
+        rhs = _rhs_3d(g, dt, u_star, v_star, w_star, rho)
+        p = _rbsor_3d(g, p, rhs, sor_omega, sor_tol, sor_max_iter)
+    else:
+        p = _solve_pressure_3d(g, dt, n_jacobi, p, u_star, v_star,
+                               w_star, rho)
     u, v, w = update_velocity_3d(g, dt, u, v, w, u_star, v_star, w_star, p, rho)
     u, v, w, F, p, rho = apply_bc_3d(u, v, w, F, p, rho)
     F = rudman_advect_3d(g, dt, F, u, v, w, phase)
@@ -249,7 +321,9 @@ def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
 def simulate_3d(g: Grid3D, state: State3D, n_steps: int,
                 dt: float = 4e-6, n_jacobi: int = 10,
                 fl: Fluid | None = None, backend: str = "xla",
-                istep0: int = 0) -> State3D:
+                istep0: int = 0, pressure_solver: str = "jacobi",
+                sor_omega: float = 1.7, sor_tol: float = 1e-3,
+                sor_max_iter: int = 200) -> State3D:
     """Advance n_steps with the reference's 1-based phase schedule
     (first step phase 1, then 2, 0, 1, ...). The pallas backend pads the
     state once (jk lane/sublane alignment) and scans the padded step.
@@ -262,15 +336,26 @@ def simulate_3d(g: Grid3D, state: State3D, n_steps: int,
     before the jitted core, so chunked drivers compile at most three
     programs per shape."""
     g.validate()  # cubic cells only (the 3-D FCT scale factors assume it)
+    if backend == "pallas" and pressure_solver != "jacobi":
+        import warnings
+
+        warnings.warn(
+            f"pressure_solver={pressure_solver!r} needs the XLA path "
+            "(the slab kernels implement the fixed-iteration Jacobi); "
+            "backend falls back to 'xla'")
+        backend = "xla"
     return _simulate_3d_impl(g, state, n_steps, dt, n_jacobi, fl,
-                             backend, istep0 % 3)
+                             backend, istep0 % 3, pressure_solver,
+                             sor_omega, sor_tol, sor_max_iter)
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
 def _simulate_3d_impl(g: Grid3D, state: State3D, n_steps: int,
                       dt: float, n_jacobi: int,
                       fl: Fluid | None, backend: str,
-                      istep0: int) -> State3D:
+                      istep0: int, pressure_solver: str = "jacobi",
+                      sor_omega: float = 1.7, sor_tol: float = 1e-3,
+                      sor_max_iter: int = 200) -> State3D:
     fl = fl or Fluid()
     use_pallas = backend == "pallas" and pallas3d_supported(g)
     if use_pallas:
@@ -288,7 +373,8 @@ def _simulate_3d_impl(g: Grid3D, state: State3D, n_steps: int,
             g, fl, dt, n_jacobi, s, ph)
     else:
         stepper = lambda s, ph: step_3d(  # noqa: E731
-            g, fl, dt, n_jacobi, s, ph, backend)
+            g, fl, dt, n_jacobi, s, ph, backend, pressure_solver,
+            sor_omega, sor_tol, sor_max_iter)
 
     ph1 = (istep0 + 1) % 3  # phase of the first step taken here
 
