@@ -172,6 +172,24 @@ def test_cli_three_d(tmp_path):
     assert any(f.endswith(".vtk") for f in os.listdir(tmp_path))
 
 
+def test_cli_three_d_mesh_rbsor(tmp_path):
+    """3-D distributed CLI smoke: --mesh PX,PY reaches Decomp3D on a
+    2-axis mesh and --pressure-solver rbsor reaches the distributed
+    RB-SOR (both upgrades composed through the user-facing surface)."""
+    rc = cli.main(["--three-d", "--nx", "16", "--steps", "3",
+                   "--frame-every", "3", "--mesh", "2,2",
+                   "--pressure-solver", "rbsor", "--no-frames",
+                   "--outdir", str(tmp_path)])
+    assert rc == 0
+
+
+def test_cli_plan_mesh(capsys):
+    rc = cli.main(["--plan-mesh", "8", "--nx", "200", "--three-d"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "pallas-pencil" in out and "mesh" in out
+
+
 def test_cli_optimize(tmp_path):
     rc = cli.main(["--optimize", "1", "--nx", "12", "--opt-steps", "4",
                    "--epochs", "2", "--no-frames", "--outdir", str(tmp_path)])
