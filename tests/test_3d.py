@@ -236,3 +236,28 @@ def test_rbsor_3d_with_pallas_backend_falls_back():
         out = simulate_3d(g, state, 1, backend="pallas",
                           pressure_solver="rbsor", sor_max_iter=20)
     assert np.isfinite(np.asarray(out.F)).all()
+
+
+def test_sweep_masked_2axis_keeps_pad_rows_zero():
+    """Pad-zero invariant of the pencil kernels: with nj_valid set, no
+    sweep axis may write into the sublane-pad rows — on a non-edge
+    pencil those rows alias INTERIOR global j's, so the global masks
+    alone pass there (the y-sweep regression: its j bounds came from the
+    global sw masks, which the local bound did not cap)."""
+    from tpuvof.ops.fct3d import sweep_masked_2axis
+
+    g = Grid3D(32, 32, 32)
+    rng = np.random.default_rng(3)
+    # a bottom pencil's block: nyl=16, Wy=6 -> nyE=28, rows 30, pad to 32
+    njl, rows = 28, 32
+    shape = (20, rows, 34)
+    F = jnp.asarray(rng.uniform(size=shape))
+    vel = jnp.asarray(rng.standard_normal(shape) * 0.1)
+    F = F.at[:, njl + 2:, :].set(0.0)    # pad rows start at njl+2
+    vel = vel.at[:, njl + 2:, :].set(0.0)
+    gi0, gj0 = 5, -6                     # bottom shard: gj of row 0
+    for axis in (0, 1, 2):
+        out = sweep_masked_2axis(g, 4e-6, F, vel, axis, gi0, gj0,
+                                 nj_valid=njl + 1)
+        pad = np.asarray(out[:, njl + 2:, :])
+        assert np.all(pad == 0.0), f"axis {axis}: pad max {pad.max()}"

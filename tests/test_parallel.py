@@ -187,6 +187,38 @@ def test_shard_engine_routing_and_validation():
                                np.asarray(want.F)[1:-1, 1:-1], atol=1e-13)
 
 
+def test_strips_preference_falls_back_to_full_block_not_xla():
+    """backend='pallas_strips' on shards no strip height divides
+    (100 is not a multiple of 8) must keep the admissible FULL-BLOCK
+    windowed kernel — the old path dropped to the ~3x slower XLA step
+    with a factually wrong 'exceeds the VMEM envelope' warning."""
+    cfg = tv.SimConfig(grid=tv.Grid2D(200, 200),
+                       num=tv.Numerics(backend="pallas_strips"))
+    dec = Decomp(cfg, make_mesh(2, 2))
+    assert dec.pallas_shard_supported()
+    assert dec.shard_strips_layout() is None
+    with pytest.warns(UserWarning, match="full-block windowed kernel"):
+        run = dec.make_simulate()
+    # full-block engine in play: bit-compatible with the canonical path
+    state = tv.init_state(cfg, ic=1)
+    state = tv.State(*(a.astype(jnp.float64) for a in state))
+    want = tv.simulate(cfg.replace(num=tv.Numerics()), state, 3)
+    got = dec.gather_state(run(dec.scatter_state(state), 3))
+    np.testing.assert_allclose(np.asarray(got.F)[1:-1, 1:-1],
+                               np.asarray(want.F)[1:-1, 1:-1], atol=1e-13)
+
+
+def test_forced_engine_with_rbsor_raises():
+    """engine= is the documented hard force: combined with a pressure
+    solver only the XLA step implements, it must raise — not silently
+    measure the XLA step under a forced-engine label."""
+    cfg = tv.SimConfig(grid=tv.Grid2D(64, 64),
+                       num=tv.Numerics(backend="pallas_mono",
+                                       pressure_solver="rbsor"))
+    with pytest.raises(ValueError, match="requires the XLA"):
+        Decomp(cfg, make_mesh(2, 2), engine="strips").make_simulate()
+
+
 def test_distributed_matches_serial_from_non_bc_consistent_state():
     """The serial driver applies apply_bc once at entry before its lean
     steps; the distributed run must do the same (it did not, and a state

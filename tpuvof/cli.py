@@ -150,7 +150,9 @@ def run_distributed(args, cfg, state, istep) -> int:
     target_step = istep + args.steps
     # seed from the resumed step so a --resume run continues the frame
     # numbering instead of overwriting the pre-resume frames (ADVICE r2)
-    frame_idx = istep // args.frame_every
+    frame_idx = -(-istep // args.frame_every)  # ceil: a non-frame-aligned
+    # prior run wrote a final partial-chunk frame at floor+1 (clobbered
+    # by a floor seed; frame-aligned runs are unchanged)
     while istep < target_step:
         n = min(args.frame_every, target_step - istep)
         blocked = run(blocked, n, istep)  # istep0: parity continues
@@ -447,7 +449,9 @@ def main(argv=None) -> int:
     vis_idx = MODES.index(args.view)
     # seed from the resumed step so a --resume run continues the frame
     # numbering instead of overwriting the pre-resume frames (ADVICE r2)
-    frame_idx = istep // args.frame_every
+    frame_idx = -(-istep // args.frame_every)  # ceil: a non-frame-aligned
+    # prior run wrote a final partial-chunk frame at floor+1 (clobbered
+    # by a floor seed; frame-aligned runs are unchanged)
     target_step = istep + args.steps
     profile_cm = None
     if args.profile_dir:

@@ -257,6 +257,13 @@ def sweep_masked_2axis(g: Grid3D, dt, F, vel, axis: int, gi0, gj0,
     sw = (gi, gj, k)[axis]
     n_sweep = (g.nx, g.ny, g.nz)[axis]
     o_int = {0: m_j & m_k, 1: m_i & m_k, 2: m_i & m_j}[axis]
+    if nj_valid is not None and axis == 1:
+        # the y-sweep's j bounds come from sw (global gj), which the
+        # local-row bound must ALSO cap: on a non-edge pencil the pad
+        # rows alias interior global j's, and without this the sweep
+        # writes nonzero values into the persistent F pad (the pad-zero
+        # invariant; axes 0/2 get the bound through m_j in o_int)
+        o_int = o_int & (jl <= nj_valid)
 
     def sh(x, d):
         return _sh3(x, d if axis == 0 else 0, d if axis == 1 else 0,

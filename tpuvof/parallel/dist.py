@@ -624,6 +624,15 @@ class Decomp:
         prefer = {"pallas_tiled": "tiled",
                   "pallas_strips": "strips"}.get(self.cfg.num.backend)
         if use_pallas and self.cfg.num.pressure_solver != "jacobi":
+            if self._engine is not None:
+                # engine= is the documented hard force — honor the
+                # contract by raising instead of silently measuring the
+                # XLA step under a forced-engine label
+                raise ValueError(
+                    f"engine={self._engine!r} forced but pressure_solver="
+                    f"{self.cfg.num.pressure_solver!r} requires the XLA "
+                    "per-shard engine (the windowed kernel implements the "
+                    "fixed-iteration Jacobi)")
             import warnings
 
             warnings.warn(
@@ -673,6 +682,19 @@ class Decomp:
                     "engine='tiled' forced but no tile divides local "
                     f"blocks {self.nxl}x{self.nyl} within the VMEM "
                     "envelope")
+            elif self.pallas_shard_supported():
+                # a backend-level streaming-engine PREFERENCE
+                # (pallas_strips/pallas_tiled) that no layout satisfies,
+                # but the full-block windowed kernel is admissible: keep
+                # the fast engine class instead of dropping to the ~3x
+                # slower XLA step (the old path also misdiagnosed this
+                # as a VMEM overflow)
+                import warnings
+
+                warnings.warn(
+                    f"backend={self.cfg.num.backend!r}: no strip height "
+                    f"or tile divides local blocks {self.nxl}x{self.nyl};"
+                    " using the full-block windowed kernel instead")
             else:
                 import warnings
 

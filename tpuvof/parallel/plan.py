@@ -90,26 +90,33 @@ def plan_mesh_2d(cfg: SimConfig, n_devices: int) -> list[MeshPlan]:
         if py > 1:
             halo += 2 * (W + 1) * (nxl + 2 * W + 2) * 4
         halo_mb = halo * 4 / 2**20
+        # all engines' swept counts in the SAME units: the (8,128)-padded
+        # block extents their Mosaic programs actually sweep, ghost ring
+        # included (mixing padded strips counts with unpadded full-block
+        # counts skewed borderline rankings)
+        def padded(rows, lanes):
+            return (-(-rows // 8) * 8) * (-(-lanes // 128) * 128)
+
         engine, swept, speed, detail = "xla", owned, 0.3, "per-shard XLA"
         if halo_ok:
             if fits_vmem_2d(nxl + 2 * W, nyl + 2 * W,
                             fields=WINDOWED_FIELDS):
                 engine = "pallas-full"
-                swept = (nxl + 2 * W) * (nyl + 2 * W)
+                swept = padded(nxl + 2 * W + 2, nyl + 2 * W + 2)
                 speed = 1.0
                 detail = f"W={W} resident block"
             elif (lay := strips_layout_2d(cfg, extents=(nxl, nyl))) \
                     is not None:
                 Tx, W2, P0, P1, Exp, Lout, ntx = lay
                 engine = "pallas-strips"
-                swept = ntx * Exp * P1
+                swept = ntx * Exp * P1  # already (8,128)-padded
                 speed = 1.0
                 detail = f"W={W} strips Tx={Tx} x{ntx}"
             elif (tile := pick_tile_2d(nxl, nyl, W)) is not None:
                 engine = "pallas-tiled"
                 tx, ty = tile
                 swept = (nxl // tx) * (nyl // ty) \
-                    * (tx + 2 * W + 2) * (ty + 2 * W + 2)
+                    * padded(tx + 2 * W + 2, ty + 2 * W + 2)
                 speed = 0.6
                 detail = f"W={W} tiles {tx}x{ty}"
         wf = swept / owned
