@@ -238,7 +238,9 @@ class Decomp3D:
                 import warnings
 
                 warnings.warn(f"Decomp3D backend='pallas' {adm['why']}; "
-                              "using the XLA engine.")
+                              "using the XLA engine. (parallel.plan_mesh_3d"
+                              " / `tpuvof --plan-mesh N --three-d` ranks "
+                              "the admissible mesh shapes)")
                 self.backend = "xla"
                 self.pencil = False
                 self.Wy = 0
