@@ -121,6 +121,18 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _profile_ctx(args):
+    """--profile-dir as a context manager: a jax.profiler trace around
+    the step loop (utils/profiling.trace), or a no-op."""
+    import contextlib
+
+    if not args.profile_dir:
+        return contextlib.nullcontext()
+    from .utils.profiling import trace
+
+    return trace(args.profile_dir)
+
+
 def run_distributed(args, cfg, state, istep) -> int:
     """Domain-decomposed run: scatter once, step in frame-sized chunks on
     the blocked sharded state, gather per frame for metrics/PNGs."""
@@ -153,31 +165,35 @@ def run_distributed(args, cfg, state, istep) -> int:
     frame_idx = -(-istep // args.frame_every)  # ceil: a non-frame-aligned
     # prior run wrote a final partial-chunk frame at floor+1 (clobbered
     # by a floor seed; frame-aligned runs are unchanged)
-    while istep < target_step:
-        n = min(args.frame_every, target_step - istep)
-        blocked = run(blocked, n, istep)  # istep0: parity continues
-        istep += n
-        state = dec.gather_state(blocked)
-        m = compute_metrics_jit(cfg, state)
-        print(format_frame(istep, cfg.num.dt, m, "vof"))
-        if not bool(m.finite):
-            print(">>> aborting: non-finite fields", file=sys.stderr)
-            return 1
-        if not args.no_frames:
-            save_contour_png(
-                os.path.join(args.outdir, f"{frame_idx:06d}-f.png"),
-                np.asarray(state.F), cfg.grid.Lx, cfg.grid.Ly)
-            frame_idx += 1
-        if args.checkpoint_every and istep % args.checkpoint_every == 0:
-            # same artifact as the serial path: a --resume of it (with
-            # or without --mesh, any mesh shape) continues the run —
-            # the checkpoint holds the GATHERED state + istep, so the
-            # sweep schedule and frame numbering carry over
-            from .io_utils import save_checkpoint
+    prof = _profile_ctx(args)
+    with prof:
+        while istep < target_step:
+            n = min(args.frame_every, target_step - istep)
+            blocked = run(blocked, n, istep)  # istep0: parity continues
+            istep += n
+            state = dec.gather_state(blocked)
+            m = compute_metrics_jit(cfg, state)
+            print(format_frame(istep, cfg.num.dt, m, "vof"))
+            if not bool(m.finite):
+                print(">>> aborting: non-finite fields", file=sys.stderr)
+                return 1
+            if not args.no_frames:
+                save_contour_png(
+                    os.path.join(args.outdir, f"{frame_idx:06d}-f.png"),
+                    np.asarray(state.F), cfg.grid.Lx, cfg.grid.Ly)
+                frame_idx += 1
+            if args.checkpoint_every and istep % args.checkpoint_every == 0:
+                # same artifact as the serial path: a --resume of it (with
+                # or without --mesh, any mesh shape) continues the run —
+                # the checkpoint holds the GATHERED state + istep, so the
+                # sweep schedule and frame numbering carry over
+                from .io_utils import save_checkpoint
 
-            path = os.path.join(args.outdir, f"ckpt_{istep:06d}.npz")
-            save_checkpoint(path, cfg, state, istep)
-            print(f">>> checkpoint saved: {path}")
+                path = os.path.join(args.outdir, f"ckpt_{istep:06d}.npz")
+                save_checkpoint(path, cfg, state, istep)
+                print(f">>> checkpoint saved: {path}")
+    if args.profile_dir:
+        print(f">>> profiler trace written to {args.profile_dir}")
     wall = time.time() - t0
     cups = cfg.grid.nx * cfg.grid.ny * args.steps / wall
     print(f">>> {args.steps} steps in {wall:.2f}s on {px}x{py} mesh "
@@ -231,24 +247,27 @@ def run_3d(args) -> int:
              "devices" if dec else ""))
     t0 = time.time()
     done = 0
-    while done < args.steps:
-        k = min(args.frame_every, args.steps - done)
-        if dec is not None:
-            state = dec.simulate(state, k, istep0=done)
-        else:
-            # istep0 keeps the reference's continuous istep % 3 sweep
-            # rotation across frame chunks
-            state = simulate_3d(g, state, k, args.dt, args.jacobi,
-                                backend=backend, istep0=done,
-                                pressure_solver=args.pressure_solver)
-        done += k
-        F = np.asarray(state.F)
-        print(f">>> Exporting step-{done:05d} result... "
-              f"mass={F[1:-1,1:-1,1:-1].sum():.1f} "
-              f"range=[{F.min():.3f},{F.max():.3f}]")
-        if not args.no_frames:
-            write_vtk(os.path.join(args.outdir, f"step-{done:05d}"),
-                      {"VOF": F})
+    with _profile_ctx(args):
+        while done < args.steps:
+            k = min(args.frame_every, args.steps - done)
+            if dec is not None:
+                state = dec.simulate(state, k, istep0=done)
+            else:
+                # istep0 keeps the reference's continuous istep % 3 sweep
+                # rotation across frame chunks
+                state = simulate_3d(g, state, k, args.dt, args.jacobi,
+                                    backend=backend, istep0=done,
+                                    pressure_solver=args.pressure_solver)
+            done += k
+            F = np.asarray(state.F)
+            print(f">>> Exporting step-{done:05d} result... "
+                  f"mass={F[1:-1,1:-1,1:-1].sum():.1f} "
+                  f"range=[{F.min():.3f},{F.max():.3f}]")
+            if not args.no_frames:
+                write_vtk(os.path.join(args.outdir, f"step-{done:05d}"),
+                          {"VOF": F})
+    if args.profile_dir:
+        print(f">>> profiler trace written to {args.profile_dir}")
     wall = time.time() - t0
     print(f">>> {args.steps} steps in {wall:.2f}s "
           f"({n**3 * args.steps / wall:.3e} cell-updates/s)")
