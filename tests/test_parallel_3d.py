@@ -245,3 +245,29 @@ def test_distributed_3d_pencil_pallas_falls_back_when_shards_thin():
     with pytest.warns(UserWarning, match="ny/py"):
         dec = Decomp3D(g, make_mesh_2d(2, 4), backend="pallas")
     assert dec.backend == "xla" and not dec.pencil
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_distributed_3d_pencil_fuzz(seed):
+    """Randomized-state fuzz of the pencil engine vs the serial pallas
+    path (both BC once at entry), f64 interpret on a 2x2 mesh: random
+    fields leave no structure for a mask/halo/corner bug to hide behind
+    (the pencil twin of tests/test_3d.py::test_pallas_3d_step_fuzz);
+    3 steps cover all sweep phases."""
+    from test_3d import _random_3d_state
+
+    g = Grid3D(32, 32, 32)
+    rng = np.random.default_rng(40 + seed)
+    state = tv.State3D(*(jnp.asarray(np.asarray(a), jnp.float64)
+                         for a in _random_3d_state(g, rng)))
+    n_steps = 3
+    want = simulate_3d(g, state, n_steps, n_jacobi=2, backend="pallas")
+    dec = Decomp3D(g, make_mesh_2d(2, 2), n_jacobi=2, backend="pallas")
+    assert dec.pencil
+    got = dec.simulate(state, n_steps)
+    for name, atol in (("F", 1e-12), ("u", 1e-12), ("v", 1e-12),
+                       ("w", 1e-12), ("p", 1e-8)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name))[1:-1, 1:-1],
+            np.asarray(getattr(want, name))[1:-1, 1:-1], atol=atol,
+            err_msg=f"{name} seed{seed}")
