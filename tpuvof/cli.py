@@ -194,6 +194,18 @@ def run_distributed(args, cfg, state, istep) -> int:
                 print(f">>> checkpoint saved: {path}")
     if args.profile_dir:
         print(f">>> profiler trace written to {args.profile_dir}")
+    if args.gif and not args.no_frames:
+        # same affordance as the serial loop (distributed frames are the
+        # contourf PNGs)
+        import glob
+
+        from .io_utils import frames_to_gif
+
+        frames = sorted(glob.glob(os.path.join(args.outdir, "*-f.png")))
+        if frames:
+            gif = frames_to_gif(frames, os.path.join(args.outdir,
+                                                     "movie.gif"))
+            print(f">>> assembled {len(frames)} frames into {gif}")
     wall = time.time() - t0
     cups = cfg.grid.nx * cfg.grid.ny * args.steps / wall
     print(f">>> {args.steps} steps in {wall:.2f}s on {px}x{py} mesh "
