@@ -222,7 +222,18 @@ def run_3d(args) -> int:
 
     n = args.nx
     g = Grid3D(n, n, n)
-    state = init_state_3d(g, ic=args.ic)
+    istep0 = 0
+    if args.resume:
+        from .io_utils import load_checkpoint_3d
+
+        state, istep0, _ = load_checkpoint_3d(args.resume)
+        if tuple(state.F.shape) != g.shape:
+            print(f"error: checkpoint grid {state.F.shape} != requested "
+                  f"{g.shape}", file=sys.stderr)
+            return 2
+        print(f">>> resumed from {args.resume} at step {istep0}")
+    else:
+        state = init_state_3d(g, ic=args.ic)
     backend = ("pallas" if args.backend in ("pallas", "pallas_mono",
                                             "pallas_tiled", "pallas_strips")
                else "xla")
@@ -258,15 +269,16 @@ def run_3d(args) -> int:
           + (f", decomposed {dec.px}x{dec.py} over {dec.px * dec.py} "
              "devices" if dec else ""))
     t0 = time.time()
-    done = 0
+    done = istep0
+    target = istep0 + args.steps
     with _profile_ctx(args):
-        while done < args.steps:
-            k = min(args.frame_every, args.steps - done)
+        while done < target:
+            k = min(args.frame_every, target - done)
             if dec is not None:
                 state = dec.simulate(state, k, istep0=done)
             else:
                 # istep0 keeps the reference's continuous istep % 3 sweep
-                # rotation across frame chunks
+                # rotation across frame chunks (and across --resume)
                 state = simulate_3d(g, state, k, args.dt, args.jacobi,
                                     backend=backend, istep0=done,
                                     pressure_solver=args.pressure_solver)
@@ -278,6 +290,12 @@ def run_3d(args) -> int:
             if not args.no_frames:
                 write_vtk(os.path.join(args.outdir, f"step-{done:05d}"),
                           {"VOF": F})
+            if args.checkpoint_every and done % args.checkpoint_every == 0:
+                from .io_utils import save_checkpoint_3d
+
+                path = os.path.join(args.outdir, f"ckpt_{done:06d}.npz")
+                save_checkpoint_3d(path, g, state, done)
+                print(f">>> checkpoint saved: {path}")
     if args.profile_dir:
         print(f">>> profiler trace written to {args.profile_dir}")
     wall = time.time() - t0

@@ -28,6 +28,8 @@ __all__ = [
     "save_grad_png",
     "save_checkpoint",
     "load_checkpoint",
+    "save_checkpoint_3d",
+    "load_checkpoint_3d",
     "write_vtk",
 ]
 
@@ -158,6 +160,42 @@ def load_checkpoint(path: str):
             p=jnp.asarray(z["p"]),
         )
         return state, int(z["istep"]), json.loads(str(z["config"]))
+
+
+def save_checkpoint_3d(path: str, g, state, istep: int):
+    """3-D twin of save_checkpoint: the five-field State3D + step counter
+    + grid echo — the failure-recovery artifact for the long 200^3
+    flagship runs (the reference's 3dvof.py has no restart mechanism;
+    re-running from step 0 at 200^3 x many-thousand steps is the
+    alternative)."""
+    np.savez_compressed(
+        path,
+        F=np.asarray(state.F),
+        u=np.asarray(state.u),
+        v=np.asarray(state.v),
+        w=np.asarray(state.w),
+        p=np.asarray(state.p),
+        istep=np.int64(istep),
+        grid=json.dumps(asdict(g)),
+    )
+
+
+def load_checkpoint_3d(path: str):
+    """Returns (State3D, istep, grid_dict); the caller validates the grid
+    against its own (cf. load_checkpoint)."""
+    import jax.numpy as jnp
+
+    from .state import State3D
+
+    with np.load(path, allow_pickle=False) as z:
+        state = State3D(
+            F=jnp.asarray(z["F"]),
+            u=jnp.asarray(z["u"]),
+            v=jnp.asarray(z["v"]),
+            w=jnp.asarray(z["w"]),
+            p=jnp.asarray(z["p"]),
+        )
+        return state, int(z["istep"]), json.loads(str(z["grid"]))
 
 
 def frames_to_gif(frame_paths, out_path: str, fps: int = 20):
