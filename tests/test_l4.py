@@ -335,9 +335,12 @@ def test_cli_mesh_distributed_run(tmp_path):
     """--mesh drives the shard_map decomposition end-to-end on the virtual
     CPU mesh (VERDICT r1 #3: CLI-drivable distributed run)."""
     rc = cli.main(["-ic", "1", "--nx", "16", "--steps", "4",
-                   "--frame-every", "2", "--mesh", "2,2", "--gif",
-                   "--outdir", str(tmp_path)])
+                   "--frame-every", "2", "--mesh", "2,2", "--gif", "-s",
+                   "--view", "vnorm", "--outdir", str(tmp_path)])
     assert rc == 0
+    # full view-mode parity with the serial loop: rendered frames in the
+    # requested mode, the reference-style contour under -s, gif assembly
+    assert any(f.endswith("-vnorm.png") for f in os.listdir(tmp_path))
     assert any(f.endswith("-f.png") for f in os.listdir(tmp_path))
     assert os.path.exists(os.path.join(str(tmp_path), "movie.gif"))
 

@@ -140,8 +140,9 @@ def run_distributed(args, cfg, state, istep) -> int:
     import tpuvof as tv
     from jax.sharding import Mesh
     from .metrics import banner, compute_metrics_jit, format_frame
-    from .io_utils import save_contour_png
+    from .io_utils import save_contour_png, save_frame_png
     from .parallel import Decomp
+    from .viz import MODES, render_frame
 
     px, py = (int(x) for x in args.mesh.split(","))
     devs = jax.devices()
@@ -165,6 +166,7 @@ def run_distributed(args, cfg, state, istep) -> int:
     frame_idx = -(-istep // args.frame_every)  # ceil: a non-frame-aligned
     # prior run wrote a final partial-chunk frame at floor+1 (clobbered
     # by a floor seed; frame-aligned runs are unchanged)
+    vis_idx = MODES.index(args.view)
     prof = _profile_ctx(args)
     with prof:
         while istep < target_step:
@@ -178,10 +180,23 @@ def run_distributed(args, cfg, state, istep) -> int:
                 print(">>> aborting: non-finite fields", file=sys.stderr)
                 return 1
             if not args.no_frames:
-                save_contour_png(
-                    os.path.join(args.outdir, f"{frame_idx:06d}-f.png"),
-                    np.asarray(state.F), cfg.grid.Lx, cfg.grid.Ly)
+                # full view-mode parity with the serial loop: the
+                # device-side rendered frame (--view/--cycle-views) plus
+                # the reference-style contourf under -s (distributed
+                # runs previously wrote only the contour)
+                mode = MODES[vis_idx % len(MODES)]
+                rgb = render_frame(cfg, state, mode)
+                save_frame_png(
+                    os.path.join(args.outdir,
+                                 f"{frame_idx:06d}-{mode}.png"),
+                    np.asarray(rgb))
+                if args.save_fig:
+                    save_contour_png(
+                        os.path.join(args.outdir, f"{frame_idx:06d}-f.png"),
+                        np.asarray(state.F), cfg.grid.Lx, cfg.grid.Ly)
                 frame_idx += 1
+            if args.cycle_views:
+                vis_idx += 1
             if args.checkpoint_every and istep % args.checkpoint_every == 0:
                 # same artifact as the serial path: a --resume of it (with
                 # or without --mesh, any mesh shape) continues the run —
@@ -195,13 +210,16 @@ def run_distributed(args, cfg, state, istep) -> int:
     if args.profile_dir:
         print(f">>> profiler trace written to {args.profile_dir}")
     if args.gif and not args.no_frames:
-        # same affordance as the serial loop (distributed frames are the
-        # contourf PNGs)
+        # same affordance as the serial loop: the rendered view-mode
+        # frames (any mode when cycling), contourf excluded
         import glob
 
         from .io_utils import frames_to_gif
 
-        frames = sorted(glob.glob(os.path.join(args.outdir, "*-f.png")))
+        pat = "*" if args.cycle_views else MODES[vis_idx % len(MODES)]
+        frames = [f for f in glob.glob(
+            os.path.join(args.outdir, f"*-{pat}.png"))
+            if not f.endswith("-f.png")]
         if frames:
             gif = frames_to_gif(frames, os.path.join(args.outdir,
                                                      "movie.gif"))
