@@ -92,7 +92,12 @@ class Numerics:
     backend: str = "xla"
     # 'jacobi' = the reference's fixed-iteration sweep; 'rbsor' = red-black
     # SOR iterated to an on-device residual tolerance (upgrade path; not
-    # differentiable).
+    # differentiable); 'mg' = residual-driven geometric-multigrid V-cycles
+    # (ops/mg.py — O(1) cycles in grid size where rbsor needs O(n) sweeps;
+    # serial runs only, also not differentiable). sor_tol/sor_max_iter
+    # govern both residual-driven solvers (max_iter counts V-cycles under
+    # 'mg'); sor_omega is rbsor-only (the MG smoother is plain red-black
+    # Gauss-Seidel).
     pressure_solver: str = "jacobi"
     sor_omega: float = 1.7
     sor_tol: float = 1e-3

@@ -127,6 +127,15 @@ def solve_pressure(g: Grid2D, nm: Numerics, p, u_star, v_star, rho):
     rhs = divergence_rhs(g, nm, u_star, v_star, rho)
     if nm.pressure_solver == "rbsor":
         return _rbsor(g, nm, p, rhs)
+    if nm.pressure_solver == "mg":
+        from .mg import mg_solve
+
+        return mg_solve(p, rhs, (g.dxi**2, g.dyi**2), nm.sor_tol,
+                        nm.sor_max_iter)
+    if nm.pressure_solver != "jacobi":
+        raise ValueError(
+            f"unknown pressure_solver {nm.pressure_solver!r} "
+            "(expected 'jacobi', 'rbsor', or 'mg')")
     if nm.pressure_adjoint == "selfadjoint":
         return _jacobi_selfadjoint(g, nm.n_jacobi, p, rhs)
     return _jacobi_sweeps(g, nm.n_jacobi, p, rhs)

@@ -83,6 +83,12 @@ class Decomp:
         # engine's streaming height (strips_layout_2d).
         if engine not in (None, "full", "strips", "tiled"):
             raise ValueError(f"unknown shard engine {engine!r}")
+        if cfg.num.pressure_solver not in ("jacobi", "rbsor"):
+            raise ValueError(
+                f"pressure_solver={cfg.num.pressure_solver!r} has no "
+                "distributed implementation (MG's coarse levels would be "
+                "latency-bound on a mesh); use 'rbsor' — the residual-"
+                "driven upgrade with per-half-sweep exchanges")
         self._engine = engine
         self._tx = tx
         self._shard_tile_static = None

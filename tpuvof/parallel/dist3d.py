@@ -202,6 +202,12 @@ class Decomp3D:
         self.fl = fl or Fluid()
         self.dt = dt
         self.n_jacobi = n_jacobi
+        if pressure_solver not in ("jacobi", "rbsor"):
+            raise ValueError(
+                f"pressure_solver={pressure_solver!r} has no distributed "
+                "implementation (MG's coarse levels would be latency-bound "
+                "on a mesh); use 'rbsor' — the residual-driven upgrade "
+                "with per-half-sweep exchanges")
         self.pressure_solver = pressure_solver
         self.sor_omega = sor_omega
         self.sor_tol = sor_tol

@@ -307,6 +307,16 @@ def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
     if pressure_solver == "rbsor":
         rhs = _rhs_3d(g, dt, u_star, v_star, w_star, rho)
         p = _rbsor_3d(g, p, rhs, sor_omega, sor_tol, sor_max_iter)
+    elif pressure_solver == "mg":
+        from .ops.mg import mg_solve
+
+        rhs = _rhs_3d(g, dt, u_star, v_star, w_star, rho)
+        p = mg_solve(p, rhs, (g.dxi**2, g.dyi**2, g.dzi**2),
+                     sor_tol, sor_max_iter)
+    elif pressure_solver != "jacobi":
+        raise ValueError(
+            f"unknown pressure_solver {pressure_solver!r} "
+            "(expected 'jacobi', 'rbsor', or 'mg')")
     else:
         p = _solve_pressure_3d(g, dt, n_jacobi, p, u_star, v_star,
                                w_star, rho)
