@@ -101,6 +101,12 @@ def build_parser() -> argparse.ArgumentParser:
     # 3-D mode (3dvof.py equivalent: dam break + VTK dumps)
     p.add_argument("--three-d", action="store_true", dest="three_d",
                    help="run the 3-D dam break (VTK volume every frame interval)")
+    p.add_argument("--csf", action="store_true",
+                   help="with --three-d: enable 3-D surface tension (Youngs "
+                        "normals + Brackbill curvature, ops/normals3d.py) — "
+                        "an upgrade over the reference, whose 3-D normals "
+                        "kernel is disabled; 2-D runs always apply CSF like "
+                        "the reference (serial XLA path only)")
     # interactive surfaces (reference GUI loop 2dvof.py:502-561 and
     # paint-a-target diff_vof.py:188-198; VERDICT r1 #5)
     p.add_argument("--live", action="store_true",
@@ -280,6 +286,10 @@ def run_3d(args) -> int:
                         ("mx", "my"))
         else:
             mesh = Mesh(np.array(devs[:px]), ("mx",))
+        if args.csf:
+            print("error: --csf has no distributed implementation yet; "
+                  "run serial (drop --mesh)", file=sys.stderr)
+            return 2
         dec = Decomp3D(g, mesh, dt=args.dt, n_jacobi=args.jacobi,
                        backend=backend,
                        pressure_solver=args.pressure_solver)
@@ -301,7 +311,8 @@ def run_3d(args) -> int:
                 # rotation across frame chunks (and across --resume)
                 state = simulate_3d(g, state, k, args.dt, args.jacobi,
                                     backend=backend, istep0=done,
-                                    pressure_solver=args.pressure_solver)
+                                    pressure_solver=args.pressure_solver,
+                                    csf=args.csf)
             done += k
             F = np.asarray(state.F)
             print(f">>> Exporting step-{done:05d} result... "
@@ -472,6 +483,10 @@ def main(argv=None) -> int:
         return run_optimize(args)
     if args.three_d:
         return run_3d(args)
+    if args.csf:
+        print("error: --csf applies to --three-d runs only (2-D always "
+              "applies CSF, like the reference)", file=sys.stderr)
+        return 2
 
     import tpuvof as tv
     from .metrics import banner, compute_metrics_jit, format_frame

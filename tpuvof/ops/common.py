@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["win", "clamp01", "median3", "interior", "set_interior"]
+__all__ = ["win", "win3", "clamp01", "median3", "interior", "set_interior",
+           "embed2", "embed3"]
 
 
 def win(a, ri, rj, di: int = 0, dj: int = 0):
@@ -83,6 +84,27 @@ def embed2(x, lo0: int, hi0: int, lo1: int, hi1: int):
         if hi1:
             parts.append(jnp.zeros((x.shape[0], hi1), d))
         x = jnp.concatenate(parts, axis=1)
+    return x
+
+
+def embed3(x, lo0: int, hi0: int, lo1: int, hi1: int, lo2: int, hi2: int):
+    """3-D :func:`embed2`: zero-pad ``x`` by (lo, hi) cells along each axis.
+
+    Same concatenation form as embed2 (lowers inside Pallas TPU kernels,
+    where Mosaic has no scatter/dynamic_update_slice)."""
+    d = x.dtype
+    for ax, (lo, hi) in enumerate(((lo0, hi0), (lo1, hi1), (lo2, hi2))):
+        if not (lo or hi):
+            continue
+        parts = []
+        if lo:
+            shape = x.shape[:ax] + (lo,) + x.shape[ax + 1:]
+            parts.append(jnp.zeros(shape, d))
+        parts.append(x)
+        if hi:
+            shape = x.shape[:ax] + (hi,) + x.shape[ax + 1:]
+            parts.append(jnp.zeros(shape, d))
+        x = jnp.concatenate(parts, axis=ax)
     return x
 
 

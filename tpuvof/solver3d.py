@@ -267,7 +267,8 @@ def pallas3d_supported(g: Grid3D) -> bool:
 def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
             state: State3D, phase: int, backend: str = "xla",
             pressure_solver: str = "jacobi", sor_omega: float = 1.7,
-            sor_tol: float = 1e-3, sor_max_iter: int = 200) -> State3D:
+            sor_tol: float = 1e-3, sor_max_iter: int = 200,
+            csf: bool = False) -> State3D:
     """One step; ``phase`` = istep % 3 selects the sweep rotation
     (3dvof.py:351-363; the main loop pre-increments istep, so the first
     step runs phase 1). backend='pallas' runs the slab-tiled kernel
@@ -277,14 +278,21 @@ def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
     Jacobi sweeps for the residual-driven red-black SOR upgrade
     (_rbsor_3d; XLA path only — the slab kernels implement the fixed
     iteration, so backend='pallas' falls back with a warning, exactly
-    like the 2-D engines)."""
-    if backend == "pallas" and pressure_solver != "jacobi":
+    like the 2-D engines). ``csf=True`` enables 3-D surface tension
+    (Youngs normals + Brackbill curvature, ops/normals3d.py) — an
+    UPGRADE over the reference, whose 3-D normals kernel is commented
+    out so kappa stays zero (3dvof.py:304-332,607); the default False
+    keeps reference parity bit-for-bit. XLA path only (the slab kernels
+    bake in the zero-kappa predictor); serial only."""
+    if backend == "pallas" and (pressure_solver != "jacobi" or csf):
         import warnings
 
+        what = (f"pressure_solver={pressure_solver!r}"
+                if pressure_solver != "jacobi" else "csf=True")
         warnings.warn(
-            f"pressure_solver={pressure_solver!r} needs the XLA path "
-            "(the slab kernels implement the fixed-iteration Jacobi); "
-            "backend falls back to 'xla'")
+            f"{what} needs the XLA path (the slab kernels implement the "
+            "fixed-iteration Jacobi with zero-kappa predictor); backend "
+            "falls back to 'xla'")
         backend = "xla"
     if backend == "pallas":
         if pallas3d_supported(g):
@@ -298,7 +306,13 @@ def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
             "XLA path.")
     F, u, v, w, p = state
     rho, nu = mix_properties(fl, F)
-    kappa = jnp.zeros_like(F)  # surface tension inert in 3-D (3dvof.py:607)
+    if csf:
+        from .ops.normals3d import young_normals_curvature_3d
+
+        _, _, _, kappa = young_normals_curvature_3d(g, F)
+    else:
+        # surface tension inert in 3-D, like the reference (3dvof.py:607)
+        kappa = jnp.zeros_like(F)
 
     u_star, v_star, w_star = predict_velocity_3d(
         g, fl, dt, u, v, w, F, rho, nu, kappa
@@ -333,7 +347,7 @@ def simulate_3d(g: Grid3D, state: State3D, n_steps: int,
                 fl: Fluid | None = None, backend: str = "xla",
                 istep0: int = 0, pressure_solver: str = "jacobi",
                 sor_omega: float = 1.7, sor_tol: float = 1e-3,
-                sor_max_iter: int = 200) -> State3D:
+                sor_max_iter: int = 200, csf: bool = False) -> State3D:
     """Advance n_steps with the reference's 1-based phase schedule
     (first step phase 1, then 2, 0, 1, ...). The pallas backend pads the
     state once (jk lane/sublane alignment) and scans the padded step.
@@ -346,26 +360,28 @@ def simulate_3d(g: Grid3D, state: State3D, n_steps: int,
     before the jitted core, so chunked drivers compile at most three
     programs per shape."""
     g.validate()  # cubic cells only (the 3-D FCT scale factors assume it)
-    if backend == "pallas" and pressure_solver != "jacobi":
+    if backend == "pallas" and (pressure_solver != "jacobi" or csf):
         import warnings
 
+        what = (f"pressure_solver={pressure_solver!r}"
+                if pressure_solver != "jacobi" else "csf=True")
         warnings.warn(
-            f"pressure_solver={pressure_solver!r} needs the XLA path "
-            "(the slab kernels implement the fixed-iteration Jacobi); "
-            "backend falls back to 'xla'")
+            f"{what} needs the XLA path (the slab kernels implement the "
+            "fixed-iteration Jacobi with zero-kappa predictor); backend "
+            "falls back to 'xla'")
         backend = "xla"
     return _simulate_3d_impl(g, state, n_steps, dt, n_jacobi, fl,
                              backend, istep0 % 3, pressure_solver,
-                             sor_omega, sor_tol, sor_max_iter)
+                             sor_omega, sor_tol, sor_max_iter, csf)
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
+@partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
 def _simulate_3d_impl(g: Grid3D, state: State3D, n_steps: int,
                       dt: float, n_jacobi: int,
                       fl: Fluid | None, backend: str,
                       istep0: int, pressure_solver: str = "jacobi",
                       sor_omega: float = 1.7, sor_tol: float = 1e-3,
-                      sor_max_iter: int = 200) -> State3D:
+                      sor_max_iter: int = 200, csf: bool = False) -> State3D:
     fl = fl or Fluid()
     use_pallas = backend == "pallas" and pallas3d_supported(g)
     if use_pallas:
@@ -384,7 +400,7 @@ def _simulate_3d_impl(g: Grid3D, state: State3D, n_steps: int,
     else:
         stepper = lambda s, ph: step_3d(  # noqa: E731
             g, fl, dt, n_jacobi, s, ph, backend, pressure_solver,
-            sor_omega, sor_tol, sor_max_iter)
+            sor_omega, sor_tol, sor_max_iter, csf)
 
     ph1 = (istep0 + 1) % 3  # phase of the first step taken here
 
