@@ -34,7 +34,6 @@ def _extruded_dam_break(n):
     """(g2, F2, g3, F3): a 2-D dam-break F and its z-invariant extrusion
     (ghost layers included — z-invariance must hold on every k slice)."""
     cfg = tv.SimConfig(grid=tv.Grid2D(n, n))
-    F2 = jnp.asarray(np.asarray(tv.init_state(cfg, ic=1).F), jnp.float64)
     # evolve a few steps so the interface has genuine curvature
     state = tv.simulate(cfg, tv.init_state(cfg, ic=1), 40)
     F2 = jnp.asarray(np.asarray(state.F), jnp.float64)

@@ -458,6 +458,13 @@ def run_advection(args) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.csf and not args.three_d:
+        # validate once, BEFORE any mode dispatch: --csf combined with
+        # --case/--optimize/--plan-mesh used to be silently ignored
+        # (ADVICE r3)
+        print("error: --csf applies to --three-d runs only (2-D always "
+              "applies CSF, like the reference)", file=sys.stderr)
+        return 2
     if args.plan_mesh:
         # pure shape math — no backend touch, so it works anywhere
         import tpuvof as tv
@@ -483,10 +490,6 @@ def main(argv=None) -> int:
         return run_optimize(args)
     if args.three_d:
         return run_3d(args)
-    if args.csf:
-        print("error: --csf applies to --three-d runs only (2-D always "
-              "applies CSF, like the reference)", file=sys.stderr)
-        return 2
 
     import tpuvof as tv
     from .metrics import banner, compute_metrics_jit, format_frame

@@ -287,8 +287,10 @@ def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
     if backend == "pallas" and (pressure_solver != "jacobi" or csf):
         import warnings
 
-        what = (f"pressure_solver={pressure_solver!r}"
-                if pressure_solver != "jacobi" else "csf=True")
+        what = " and ".join(
+            ([f"pressure_solver={pressure_solver!r}"]
+             if pressure_solver != "jacobi" else [])
+            + (["csf=True"] if csf else []))
         warnings.warn(
             f"{what} needs the XLA path (the slab kernels implement the "
             "fixed-iteration Jacobi with zero-kappa predictor); backend "
@@ -363,8 +365,10 @@ def simulate_3d(g: Grid3D, state: State3D, n_steps: int,
     if backend == "pallas" and (pressure_solver != "jacobi" or csf):
         import warnings
 
-        what = (f"pressure_solver={pressure_solver!r}"
-                if pressure_solver != "jacobi" else "csf=True")
+        what = " and ".join(
+            ([f"pressure_solver={pressure_solver!r}"]
+             if pressure_solver != "jacobi" else [])
+            + (["csf=True"] if csf else []))
         warnings.warn(
             f"{what} needs the XLA path (the slab kernels implement the "
             "fixed-iteration Jacobi with zero-kappa predictor); backend "
