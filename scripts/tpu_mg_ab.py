@@ -14,7 +14,17 @@ alongside for scale (it does NOT reach the tolerance — it is the
 reference-parity baseline, 2dvof.py:521-522).
 
 Usage (on the TPU machine):  python scripts/tpu_mg_ab.py
-  env N2D="512,1024,2048"  N3D="128"  K=8  REL=1e-5
+  env N2D="512,1024,2048"  N3D="128"  K=8  REL=1e-5  SOLVERS=jacobi10,rbsor,mg
+
+The rbsor cells use K_RBSOR (default 2) scanned solves instead of K: a
+tight-tol 512^2+ RB-SOR runs thousands of sweeps per solve, and an 8-solve
+scan once exceeded the tunnel worker's patience (worker crash, round 4).
+Run grids/solvers in separate invocations (SOLVERS/N2D/N3D) so one bad
+cell cannot take down the sweep.
+
+`rbsor_opt` is rbsor at the textbook optimal omega 2/(1+sin(pi/n)) instead
+of the config default 1.7 — measured here to decide whether Numerics
+should auto-pick omega.
 """
 import os
 import sys
@@ -36,9 +46,13 @@ from tpuvof.ops.poisson import _rbsor, _jacobi_sweeps, divergence_rhs, residual
 print("backend:", jax.default_backend(), flush=True)
 
 K = int(os.environ.get("K", "8"))
+K_RBSOR = int(os.environ.get("K_RBSOR", "2"))
 REL = float(os.environ.get("REL", "1e-5"))
-N2D = tuple(int(s) for s in os.environ.get("N2D", "512,1024,2048").split(","))
+N2D = tuple(int(s) for s in os.environ.get("N2D", "512,1024,2048").split(",")
+            if s)
 N3D = tuple(int(s) for s in os.environ.get("N3D", "128").split(",") if s)
+SOLVERS = tuple(os.environ.get(
+    "SOLVERS", "jacobi10,rbsor,rbsor_opt,mg").split(","))
 
 
 def timed(fn, *args):
@@ -85,10 +99,13 @@ def bench(name, g, rhs, inv2, p_shape):
             (slice(1, -1),) * 3]
         r0 = float(jnp.max(jnp.abs(r - jnp.mean(r))))
     tol = REL * r0
-    # K slightly-perturbed copies so the scanned solve is not loop-invariant
-    fac = (1.0 + 1e-4 * jnp.arange(K, dtype=rhs.dtype)).reshape(
-        (K,) + (1,) * rhs.ndim)
-    rhs_k = rhs[None] * fac
+
+    def rhs_of(k):
+        # k slightly-perturbed copies so the scanned solve is not
+        # loop-invariant
+        fac = (1.0 + 1e-4 * jnp.arange(k, dtype=rhs.dtype)).reshape(
+            (k,) + (1,) * rhs.ndim)
+        return rhs[None] * fac
 
     def scan_of(solver):
         @jax.jit
@@ -102,26 +119,37 @@ def bench(name, g, rhs, inv2, p_shape):
 
         return run
 
-    nm_sor = tv.Numerics(pressure_solver="rbsor", sor_tol=tol,
-                         sor_max_iter=200_000)
+    n_max = max(rhs.shape)
+    om_opt = 2.0 / (1.0 + np.sin(np.pi / n_max))
     if rhs.ndim == 2:
+        def nm_sor(om):
+            return tv.Numerics(pressure_solver="rbsor", sor_tol=tol,
+                               sor_omega=float(om), sor_max_iter=200_000)
+
         solvers = {
             "jacobi10": lambda p, r: _jacobi_sweeps(g, 10, p, r),
-            "rbsor": lambda p, r: _rbsor(g, nm_sor, p, r),
+            "rbsor": lambda p, r: _rbsor(g, nm_sor(1.7), p, r),
+            "rbsor_opt": lambda p, r: _rbsor(g, nm_sor(om_opt), p, r),
             "mg": lambda p, r: mg_solve(p, r, inv2, tol, 1000),
         }
     else:
-        from tpuvof.solver3d import _rbsor_3d, _solve_pressure_3d
+        from tpuvof.solver3d import _rbsor_3d
 
         solvers = {
             "rbsor": lambda p, r: _rbsor_3d(g, p, r, 1.7, tol, 200_000),
+            "rbsor_opt": lambda p, r: _rbsor_3d(g, p, r, om_opt, tol,
+                                                200_000),
             "mg": lambda p, r: mg_solve(p, r, inv2, tol, 1000),
         }
     print(f"\n== {name}: r0={r0:.3e}, tol={tol:.3e} (rel {REL}), "
-          f"levels {mg_levels(rhs.shape)}", flush=True)
+          f"omega_opt={om_opt:.4f}, levels {mg_levels(rhs.shape)}",
+          flush=True)
     out = {}
     for sname, solver in solvers.items():
-        t = timed(scan_of(solver), rhs_k) / K
+        if sname not in SOLVERS:
+            continue
+        k = K_RBSOR if sname.startswith("rbsor") else K
+        t = timed(scan_of(solver), rhs_of(k)) / k
         # verify the solve actually reached tol (single un-scanned call)
         p = jax.jit(solver)(jnp.zeros(p_shape, rhs.dtype), rhs)
         if rhs.ndim == 2:

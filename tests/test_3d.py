@@ -229,13 +229,28 @@ def test_rbsor_3d_beats_fixed_jacobi_and_stays_stable():
     assert np.isfinite(F).all() and F.min() >= 0.0 and F.max() <= 1.0
 
 
-def test_rbsor_3d_with_pallas_backend_falls_back():
-    g = Grid3D(32, 32, 32)
+def test_rbsor_3d_with_pallas_backend_runs_hybrid():
+    """backend='pallas' + rbsor runs the HYBRID step (Pallas
+    predict/correct/sweeps with the XLA solve hosted between them,
+    VERDICT r3 #3) and matches the XLA rbsor path — no silent whole-step
+    downgrade, no warning."""
+    import warnings
+
+    g = Grid3D(16, 16, 16)
     state = init_state_3d(g, ic=1)
-    with pytest.warns(UserWarning, match="fixed-iteration Jacobi"):
-        out = simulate_3d(g, state, 1, backend="pallas",
-                          pressure_solver="rbsor", sor_max_iter=20)
-    assert np.isfinite(np.asarray(out.F)).all()
+    state = State3D(*(jnp.asarray(np.asarray(a), jnp.float64)
+                      for a in state))
+    kw = dict(pressure_solver="rbsor", sor_tol=1e-6, sor_max_iter=2000)
+    want = simulate_3d(g, state, 4, backend="xla", **kw)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any fallback warning = failure
+        got = simulate_3d(g, state, 4, backend="pallas", **kw)
+    for name, atol in (("F", 1e-12), ("u", 1e-12), ("v", 1e-12),
+                       ("w", 1e-12), ("p", 1e-8)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name))[1:-1, 1:-1, 1:-1],
+            np.asarray(getattr(want, name))[1:-1, 1:-1, 1:-1],
+            atol=atol, err_msg=name)
 
 
 def test_sweep_masked_2axis_keeps_pad_rows_zero():

@@ -138,17 +138,117 @@ def test_csf_step_bounded_and_distinct():
     assert float(jnp.max(jnp.abs(on.u - off.u))) > 0.0
 
 
-def test_pallas_backend_falls_back_with_warning():
+def test_pallas_csf_simulate_matches_xla():
+    """csf=True runs the slab engine (in-kernel normals+curvature+sigma,
+    VERDICT r3 #1) — no fallback warning — and matches the XLA csf path
+    at f64 (interpret-mode kernels on CPU)."""
     n = 16
     g = Grid3D(n, n, n)
     state = init_state_3d(g, ic=1)
-    with warnings.catch_warnings(record=True) as rec:
-        warnings.simplefilter("always")
-        got = simulate_3d(g, state, 3, backend="pallas", csf=True)
-    assert any("csf=True" in str(w.message) for w in rec)
-    want = simulate_3d(g, state, 3, csf=True)
-    for a, b in zip(got, want):
-        assert float(jnp.max(jnp.abs(a - b))) == 0.0
+    state = tv.State3D(*(jnp.asarray(np.asarray(a), jnp.float64)
+                         for a in state))
+    want = simulate_3d(g, state, 6, csf=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any fallback warning = failure
+        got = simulate_3d(g, state, 6, backend="pallas", csf=True)
+    for name, atol in (("F", 1e-11), ("u", 1e-11), ("v", 1e-11),
+                       ("w", 1e-11), ("p", 1e-7)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name))[1:-1, 1:-1, 1:-1],
+            np.asarray(getattr(want, name))[1:-1, 1:-1, 1:-1],
+            atol=atol, err_msg=name)
+
+
+@pytest.mark.parametrize("seed,n", [(0, 16), (1, 22)])
+def test_pallas_csf_step_fuzz(seed, n):
+    """Randomized-state fuzz of the csf slab predictor (the widened B+6
+    halo, the in-block normals masks, all three phases) against the XLA
+    csf step, f64 interpret. The entry state is BC'd once first: with
+    csf the predictor READS F's ghost mirrors (through the normals), so
+    backend agreement is defined on BC-consistent entry states (the
+    documented contract, tpuvof/solver.py `step` docstring)."""
+    from tpuvof.config import Fluid
+    from tpuvof.ops import apply_bc_3d, mix_properties
+    from tpuvof.solver3d import _step_3d_pallas, step_3d
+
+    rng = np.random.default_rng(200 + seed)
+    g = Grid3D(n, n, n)
+    shape = g.shape
+    F = jnp.asarray(np.clip(rng.normal(0.5, 0.4, shape), 0, 1))
+    u = jnp.asarray(rng.normal(0, 1e-3, shape)).at[0, :, :].set(0.0)
+    v = jnp.asarray(rng.normal(0, 1e-3, shape)).at[:, 0, :].set(0.0)
+    w = jnp.asarray(rng.normal(0, 1e-3, shape)).at[:, :, 0].set(0.0)
+    p = jnp.asarray(rng.normal(0, 10.0, shape))
+    rho, _ = mix_properties(Fluid(), F)
+    u, v, w, F, p, _ = apply_bc_3d(u, v, w, F, p, rho)
+    state = tv.State3D(F=F, u=u, v=v, w=w, p=p)
+    fl = Fluid()
+    for phase in (0, 1, 2):
+        a = step_3d(g, fl, 4e-6, 10, state, phase, csf=True)
+        b = _step_3d_pallas(g, fl, 4e-6, 10, state, phase, csf=True)
+        for name in ("F", "u", "v", "w", "p"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(b, name)), np.asarray(getattr(a, name)),
+                atol=1e-11 if name != "p" else 1e-7,
+                err_msg=f"{name} ph{phase} seed{seed} n{n}")
+        state = a  # chain: next phase fuzzes from an evolved state
+
+
+@pytest.mark.parametrize("istep2,istep3", [(1, 0), (0, 1)])
+def test_extruded_trajectory_oracle_csf(istep2, istep3):
+    """STEPPED-PHYSICS oracle (the op-level extrusion parity above pins
+    only the normals op): one 3-D csf step on a z-invariant extruded
+    state with w=0 equals the independently-pinned 2-D csf step
+    slice-for-slice, when the pressure is solved to convergence (rbsor,
+    tight tol — the fixed-iteration Jacobi's k-dependent edge
+    coefficients make its unconverged iterates z-VARIANT, so only a
+    converged solve admits this oracle).
+
+    Sweep-order pairing: the 3-D istep%3 rotation vs the 2-D parity
+    alternation — with the z-sweep an exact identity at w=0, 3-D phase 1
+    (y,z,x) pairs with the 2-D even step (y,x) and phase 2 (z,x,y) with
+    the odd step (x,y). p is compared via its gradient only (each solver
+    fixes the nullspace constant differently); the FCT scale factors are
+    mathematically equal but FP-rounded differently (dy*dz/vol vs
+    dy/(dx*dy)), hence the 1e-10 tolerances rather than bitwise."""
+    n = 24
+    num = tv.Numerics(pressure_solver="rbsor", sor_tol=1e-6,
+                      sor_max_iter=100_000)
+    cfg = tv.SimConfig(grid=tv.Grid2D(n, n), num=num)
+    s0 = tv.init_state(cfg, ic=1)
+    s0 = tv.State(*(jnp.asarray(np.asarray(a), jnp.float64) for a in s0))
+    warm = tv.simulate(cfg, s0, 40)  # genuine curvature + velocity field
+
+    def ext(a2):
+        return jnp.broadcast_to(a2[:, :, None], (n + 2, n + 2, n + 2))
+
+    g3 = Grid3D(n, n, n)
+    state3 = tv.State3D(F=ext(warm.F), u=ext(warm.u), v=ext(warm.v),
+                        w=jnp.zeros((n + 2,) * 3, jnp.float64),
+                        p=ext(warm.p))
+
+    want = tv.simulate(cfg, warm, 1, istep0=istep2)
+    got = simulate_3d(g3, state3, 1, pressure_solver="rbsor",
+                      sor_tol=1e-6, sor_max_iter=100_000, csf=True,
+                      istep0=istep3)
+
+    # w stays (essentially) zero and the state stays z-invariant
+    assert float(jnp.max(jnp.abs(got.w))) < 1e-9
+    mid = n // 2
+    for name in ("F", "u", "v"):
+        a3 = np.asarray(getattr(got, name))
+        assert np.max(np.abs(a3 - a3[:, :, mid:mid + 1])[1:-1, 1:-1, 1:-1]
+                      ) < 1e-9, f"{name} not z-invariant"
+        np.testing.assert_allclose(
+            a3[1:-1, 1:-1, mid], np.asarray(getattr(want, name))[1:-1, 1:-1],
+            atol=1e-10, err_msg=name)
+    # p: gradient-only comparison (free constant differs per solver)
+    p3 = np.asarray(got.p)[1:-1, 1:-1, mid]
+    p2 = np.asarray(want.p)[1:-1, 1:-1]
+    np.testing.assert_allclose(np.diff(p3, axis=0), np.diff(p2, axis=0),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.diff(p3, axis=1), np.diff(p2, axis=1),
+                               atol=1e-7)
 
 
 def test_cli_rejects_csf_outside_3d(capsys):

@@ -171,10 +171,46 @@ def test_distributed_rejects_mg():
         Decomp3D(Grid3D(16, 16, 16), mesh, pressure_solver="mg")
 
 
-def test_pallas_backend_falls_back_for_mg():
+@pytest.mark.parametrize("solver", ["rbsor", "mg"])
+def test_hybrid_pallas_step_matches_xla_2d(solver):
+    """The hybrid 3-phase step (Pallas predict/FCT + XLA residual-driven
+    solve, VERDICT r3 #3) matches the all-XLA path at f64 (interpret-mode
+    kernels on CPU; the solve is literally the same XLA function)."""
+    import warnings
+
+    num = dict(pressure_solver=solver, sor_tol=1e-6, sor_max_iter=5000)
+    cfg_x = tv.SimConfig(grid=tv.Grid2D(64, 64),
+                         num=tv.Numerics(backend="xla", **num))
+    cfg_p = cfg_x.replace(num=tv.Numerics(backend="pallas", **num))
+    from tpuvof.solver import effective_backend
+
+    assert effective_backend(cfg_p) == "pallas"
+    state = tv.init_state(cfg_x, ic=1)
+    state = tv.State(*(jnp.asarray(np.asarray(a), jnp.float64)
+                       for a in state))
+    want = tv.simulate(cfg_x, state, 4)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any fallback warning = failure
+        got = tv.simulate(cfg_p, state, 4)
+    for name, atol in (("F", 1e-12), ("u", 1e-12), ("v", 1e-12),
+                       ("p", 1e-8)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name))[1:-1, 1:-1],
+            np.asarray(getattr(want, name))[1:-1, 1:-1], atol=atol,
+            err_msg=name)
+
+
+def test_pallas_backend_routes_mg_to_hybrid():
+    """An upgraded pressure solver keeps the Pallas phase kernels: only
+    the projection phase runs as XLA (VERDICT r3 #3). Above the phase
+    kernels' VMEM envelope the step falls back to XLA entirely."""
     from tpuvof.solver import effective_backend
 
     cfg = tv.SimConfig(grid=tv.Grid2D(64, 64),
                        num=tv.Numerics(backend="pallas_mono",
                                        pressure_solver="mg"))
-    assert effective_backend(cfg) == "xla"
+    assert effective_backend(cfg) == "pallas"
+    big = tv.SimConfig(grid=tv.Grid2D(2048, 2048),
+                       num=tv.Numerics(backend="pallas_mono",
+                                       pressure_solver="rbsor"))
+    assert effective_backend(big) == "xla"

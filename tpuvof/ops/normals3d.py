@@ -28,18 +28,17 @@ import jax.numpy as jnp
 from ..grid import Grid3D
 from .common import win3, embed3
 
-__all__ = ["young_normals_3d", "curvature_from_normals_3d",
-           "young_normals_curvature_3d"]
+__all__ = ["young_msum_3d", "normalize_normals_3d", "young_normals_3d",
+           "curvature_from_normals_3d", "young_normals_curvature_3d"]
 
 
-def young_normals_3d(g: Grid3D, F):
-    """Normalized Youngs normals (mx, my, mz), full-shape, zero ghosts."""
-    ri = (1, g.nx + 1)
-    rj = (1, g.ny + 1)
-    rk = (1, g.nz + 1)
-
-    def f(di, dj, dk):
-        return win3(F, ri, rj, rk, di, dj, dk)
+def young_msum_3d(f, dx, dy, dz):
+    """Raw (unnormalized) Youngs normal sums (mxs, mys, mzs) from an
+    F-window accessor ``f(di, dj, dk)``. Shared expression core: the XLA
+    op calls it with a win3 accessor, the slab predict kernel
+    (pallas_kernels/step3d.py) with a full-shape roll accessor — the
+    accumulation order is identical by construction, so the two paths
+    agree bitwise given the same inputs."""
 
     def corner_grad(axis, sx, sy, sz):
         """F-gradient along `axis` at the cell corner selected by the sign
@@ -59,7 +58,7 @@ def young_normals_3d(g: Grid3D, F):
                 off_lo[axis] = lo
                 d = f(*off_hi) - f(*off_lo)
                 acc = d if acc is None else acc + d
-        h = (g.dx, g.dy, g.dz)[axis]
+        h = (dx, dy, dz)[axis]
         return -acc / (4.0 * h)
 
     corners = [(sx, sy, sz) for sx in (1, -1) for sy in (1, -1)
@@ -71,8 +70,12 @@ def young_normals_3d(g: Grid3D, F):
             gax = corner_grad(axis, *c)
             acc = gax if acc is None else acc + gax
         msum.append(acc / 8.0)
-    mxs, mys, mzs = msum
+    return tuple(msum)
 
+
+def normalize_normals_3d(mxs, mys, mzs):
+    """Unit normals with the 1e-10 degeneracy guard (NaN-safe `where`,
+    keeps raw components on degenerate cells; shared by op and kernel)."""
     degenerate = ((jnp.abs(mxs) < 1e-10) & (jnp.abs(mys) < 1e-10)
                   & (jnp.abs(mzs) < 1e-10))
     mag_sq = mxs * mxs + mys * mys + mzs * mzs
@@ -80,6 +83,20 @@ def young_normals_3d(g: Grid3D, F):
     mx = jnp.where(degenerate, mxs, mxs / safe_mag)
     my = jnp.where(degenerate, mys, mys / safe_mag)
     mz = jnp.where(degenerate, mzs, mzs / safe_mag)
+    return mx, my, mz
+
+
+def young_normals_3d(g: Grid3D, F):
+    """Normalized Youngs normals (mx, my, mz), full-shape, zero ghosts."""
+    ri = (1, g.nx + 1)
+    rj = (1, g.ny + 1)
+    rk = (1, g.nz + 1)
+
+    def f(di, dj, dk):
+        return win3(F, ri, rj, rk, di, dj, dk)
+
+    mxs, mys, mzs = young_msum_3d(f, g.dx, g.dy, g.dz)
+    mx, my, mz = normalize_normals_3d(mxs, mys, mzs)
     return (embed3(mx, 1, 1, 1, 1, 1, 1), embed3(my, 1, 1, 1, 1, 1, 1),
             embed3(mz, 1, 1, 1, 1, 1, 1))
 

@@ -168,6 +168,15 @@ def residual(g: Grid2D, p, rhs, project_nullspace: bool = True):
     return jnp.max(jnp.abs(r))
 
 
+#: Residual-driven solvers stop early when `STALL_ITERS` consecutive
+#: iterations produce no new best residual: at f32 the achievable floor can
+#: sit ABOVE sor_tol (measured on the v5e: mg at 512^2 stalls near rel 6e-4
+#: of a developed-flow r0), and without the stall exit the while_loop burns
+#: the full iteration cap at the floor. During genuine convergence the
+#: residual strictly decreases, so the exit cannot fire early.
+STALL_ITERS = 25
+
+
 def _rbsor(g: Grid2D, nm: Numerics, p, rhs):
     """Red-black successive over-relaxation with an on-device residual stop.
 
@@ -175,7 +184,8 @@ def _rbsor(g: Grid2D, nm: Numerics, p, rhs):
     (2dvof.py:521-522, which leave an O(1) divergence residual): each RB-SOR
     iteration converges like ~2 Jacobi iterations at omega≈1.7, and the
     `lax.while_loop` exits as soon as max|Ap - rhs| <= sor_tol — all on
-    device, no host sync. Not differentiable (while_loop); the diff path
+    device, no host sync — or at the dtype's residual floor (STALL_ITERS
+    with no new best). Not differentiable (while_loop); the diff path
     keeps the fixed-iteration solvers.
     """
     # The pure-Neumann system only has a solution for a mean-free rhs; the
@@ -206,14 +216,21 @@ def _rbsor(g: Grid2D, nm: Numerics, p, rhs):
         return p.at[1:-1, 1:-1].set(jnp.where(mask, upd, p_int))
 
     def cond(carry):
-        p, it = carry
-        return (it < nm.sor_max_iter) & (residual(g, p, rhs) > nm.sor_tol)
+        p, it, r, best, stall = carry
+        return ((it < nm.sor_max_iter) & (r > nm.sor_tol)
+                & (stall < STALL_ITERS))
 
     def body(carry):
-        p, it = carry
+        p, it, r, best, stall = carry
         p = half_sweep(p, red)
         p = half_sweep(p, ~red)
-        return p, it + 1
+        r = residual(g, p, rhs)
+        improved = r < best
+        best = jnp.minimum(best, r)
+        stall = jnp.where(improved, 0, stall + 1)
+        return p, it + 1, r, best, stall
 
-    p, _ = jax.lax.while_loop(cond, body, (p, jnp.zeros((), jnp.int32)))
+    i0 = jnp.zeros((), jnp.int32)
+    r0 = residual(g, p, rhs)
+    p, *_ = jax.lax.while_loop(cond, body, (p, i0, r0, r0, i0))
     return p

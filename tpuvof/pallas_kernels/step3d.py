@@ -93,7 +93,7 @@ def _pick_chunk(nx: int) -> int | None:
     return None
 
 
-def step3d_slab_supported(g: Grid3D) -> bool:
+def step3d_slab_supported(g: Grid3D, csf: bool = False) -> bool:
     """Whether the slab kernels can run this grid: a valid chunk size and a
     per-chunk working set that fits VMEM (it always does for plane sizes up
     to ~1024^2, far beyond the reference's workloads)."""
@@ -102,8 +102,9 @@ def step3d_slab_supported(g: Grid3D) -> bool:
         return False
     plane = (g.ny + 2) * (g.nz + 2) * 4
     # predict3d holds ~20 chunk-sized blocks live (4 ext inputs + 4 outputs
-    # + temporaries)
-    return 20 * (b + 4) * plane <= 100 * 2**20
+    # + temporaries); csf adds the wider halo and the normals temporaries
+    blocks, hw2 = (28, 6) if csf else (20, 4)
+    return blocks * (b + hw2) * plane <= 100 * 2**20
 
 
 def _vmem_params(nbytes: int) -> pltpu.CompilerParams:
@@ -213,7 +214,8 @@ def _mirror_jk(g: Grid3D, x, gj=None, njl=None):
 # ----------------------------------------------------------------------
 # predict3d: materials + momentum predictor + projection rhs
 # ----------------------------------------------------------------------
-def _predict_block(g: Grid3D, fl: Fluid, dt, u, v, w, F, gi0, gj0=None):
+def _predict_block(g: Grid3D, fl: Fluid, dt, u, v, w, F, gi0, gj0=None,
+                   csf: bool = False):
     """Predictor + rhs over an extended block whose plane l has global
     i-index gi0 + l. Returns (us, vs, ws, rhs) in block shape with the XLA
     path's zeros outside the update regions. Planes within stencil reach of
@@ -224,7 +226,16 @@ def _predict_block(g: Grid3D, fl: Fluid, dt, u, v, w, F, gi0, gj0=None):
     become global; rows near the block's j-edges and in the sublane pad
     are junk — u*/v*/w*/rhs are per-step intermediates, so the junk is
     consumed only inside the step's dependency cone and needs no local
-    mask). None = serial/slab (unchanged trace)."""
+    mask). None = serial/slab (unchanged trace).
+
+    csf=True fuses the 3-D Youngs normals + Brackbill curvature
+    (ops/normals3d.py, the shared young_msum_3d expression core) and the
+    sigma face terms of ops/momentum3d.py into the predictor — surface
+    tension at slab-kernel speed, the capability the reference leaves
+    disabled (3dvof.py:304-332,607). The F dependency cone widens from
+    +-1 to +-3 planes (kappa at i±1 needs normals at i±2 needs F at
+    i±3); the caller ships a B+6 extended block. The csf=False trace is
+    byte-identical to before (golden/program-cache preservation)."""
     shape = F.shape
     dxi, dyi, dzi = g.dxi, g.dyi, g.dzi
     gi = _iota3(shape, 0) + gi0
@@ -237,6 +248,27 @@ def _predict_block(g: Grid3D, fl: Fluid, dt, u, v, w, F, gi0, gj0=None):
 
     rho, nu = mix_properties(fl, F)
 
+    if csf:
+        from ..ops.normals3d import normalize_normals_3d, young_msum_3d
+
+        # cell interior (global): matches the op's zero-ghost embed3
+        m_int = (gi >= 1) & (gi <= g.nx) & j_int & k_int
+        mxs, mys, mzs = young_msum_3d(
+            lambda di, dj, dk: _sh3(F, di, dj, dk), g.dx, g.dy, g.dz)
+        mxs = jnp.where(m_int, mxs, 0.0)
+        mys = jnp.where(m_int, mys, 0.0)
+        mzs = jnp.where(m_int, mzs, 0.0)
+        mx, my, mz = normalize_normals_3d(mxs, mys, mzs)
+        mx = jnp.where(m_int, mx, 0.0)
+        my = jnp.where(m_int, my, 0.0)
+        mz = jnp.where(m_int, mz, 0.0)
+        kappa = -(
+            (_sh3(mx, 1, 0, 0) - _sh3(mx, -1, 0, 0)) / (2.0 * g.dx)
+            + (_sh3(my, 0, 1, 0) - _sh3(my, 0, -1, 0)) / (2.0 * g.dy)
+            + (_sh3(mz, 0, 0, 1) - _sh3(mz, 0, 0, -1)) / (2.0 * g.dz)
+        )
+        kappa = jnp.where(m_int, kappa, 0.0)
+
     def U(di=0, dj=0, dk=0):
         return _sh3(u, di, dj, dk)
 
@@ -246,19 +278,25 @@ def _predict_block(g: Grid3D, fl: Fluid, dt, u, v, w, F, gi0, gj0=None):
     def W(di=0, dj=0, dk=0):
         return _sh3(w, di, dj, dk)
 
-    # ---- u* (3dvof.py:211-241; sigma term exactly 0, kappa never written)
+    # ---- u* (3dvof.py:211-241; without csf the sigma term is exactly 0,
+    # kappa never written; with csf it mirrors ops/momentum3d.py)
     v_here = 0.25 * (V(-1, 0, 0) + V(-1, 1, 0) + V(0, 0, 0) + V(0, 1, 0))
     w_here = 0.25 * (W(-1, 0, 0) + W(-1, 0, 1) + W(0, 0, 0) + W(0, 0, 1))
     dudx = jnp.where(u > 0, (u - U(-1, 0, 0)) * dxi, (U(1, 0, 0) - u) * dxi)
     dudy = jnp.where(v_here > 0, (u - U(0, -1, 0)) * dyi, (U(0, 1, 0) - u) * dyi)
     dudz = jnp.where(w_here > 0, (u - U(0, 0, -1)) * dzi, (U(0, 0, 1) - u) * dzi)
-    us = u + dt * (
+    acc_u = (
         nu * (U(-1, 0, 0) - 2 * u + U(1, 0, 0)) * dxi**2
         + nu * (U(0, -1, 0) - 2 * u + U(0, 1, 0)) * dyi**2
         + nu * (U(0, 0, -1) - 2 * u + U(0, 0, 1)) * dzi**2
         - u * dudx - v_here * dudy - w_here * dudz
         + fl.gx
     )
+    if csf:
+        kap = (kappa + _sh3(kappa, -1, 0, 0)) * 0.5
+        fx = -fl.sigma * (F - _sh3(F, -1, 0, 0)) * kap / g.dx
+        acc_u = acc_u + fx * 2 / (rho + _sh3(rho, -1, 0, 0))
+    us = u + dt * acc_u
     us = jnp.where((gi >= 2) & (gi <= g.nx) & j_int & k_int, us, 0.0)
 
     # ---- v* ----
@@ -267,13 +305,18 @@ def _predict_block(g: Grid3D, fl: Fluid, dt, u, v, w, F, gi0, gj0=None):
     dvdx = jnp.where(u_here > 0, (v - V(-1, 0, 0)) * dxi, (V(1, 0, 0) - v) * dxi)
     dvdy = jnp.where(v > 0, (v - V(0, -1, 0)) * dyi, (V(0, 1, 0) - v) * dyi)
     dvdz = jnp.where(w_here > 0, (v - V(0, 0, -1)) * dzi, (V(0, 0, 1) - v) * dzi)
-    vs = v + dt * (
+    acc_v = (
         nu * (V(-1, 0, 0) - 2 * v + V(1, 0, 0)) * dxi**2
         + nu * (V(0, -1, 0) - 2 * v + V(0, 1, 0)) * dyi**2
         + nu * (V(0, 0, -1) - 2 * v + V(0, 0, 1)) * dzi**2
         - u_here * dvdx - v * dvdy - w_here * dvdz
         + fl.gy
     )
+    if csf:
+        kap = (kappa + _sh3(kappa, 0, -1, 0)) * 0.5
+        fy = -fl.sigma * (F - _sh3(F, 0, -1, 0)) * kap / g.dy
+        acc_v = acc_v + fy * 2 / (rho + _sh3(rho, 0, -1, 0))
+    vs = v + dt * acc_v
     vs = jnp.where(
         (gi >= 1) & (gi <= g.nx) & (j >= 2) & (j <= g.ny) & k_int, vs, 0.0
     )
@@ -284,13 +327,18 @@ def _predict_block(g: Grid3D, fl: Fluid, dt, u, v, w, F, gi0, gj0=None):
     dwdx = jnp.where(u_here > 0, (w - W(-1, 0, 0)) * dxi, (W(1, 0, 0) - w) * dxi)
     dwdy = jnp.where(v_here > 0, (w - W(0, -1, 0)) * dyi, (W(0, 1, 0) - w) * dyi)
     dwdz = jnp.where(w > 0, (w - W(0, 0, -1)) * dzi, (W(0, 0, 1) - w) * dzi)
-    ws = w + dt * (
+    acc_w = (
         nu * (W(-1, 0, 0) - 2 * w + W(1, 0, 0)) * dxi**2
         + nu * (W(0, -1, 0) - 2 * w + W(0, 1, 0)) * dyi**2
         + nu * (W(0, 0, -1) - 2 * w + W(0, 0, 1)) * dzi**2
         - u_here * dwdx - v_here * dwdy - w * dwdz
         + fl.gz
     )
+    if csf:
+        kap = (kappa + _sh3(kappa, 0, 0, -1)) * 0.5
+        fz = -fl.sigma * (F - _sh3(F, 0, 0, -1)) * kap / g.dz
+        acc_w = acc_w + fz * 2 / (rho + _sh3(rho, 0, 0, -1))
+    ws = w + dt * acc_w
     ws = jnp.where(
         (gi >= 1) & (gi <= g.nx) & j_int & (k >= 2) & (k <= g.nz), ws, 0.0
     )
@@ -312,11 +360,12 @@ def _predict_kernel(u_hbm, v_hbm, w_hbm, F_hbm, gib,
                     ub, vb, wb, Fb, usb, vsb, wsb, rhsb, zplane,
                     sems, osems,
                     *, g: Grid3D, fl: Fluid, dt, B: int, nloc: int,
-                    njl: int | None = None):
-    """Double-buffered slab loop. Ext block covers [i0-2, i0+B+2) (B+4
-    planes) so the rhs of every stored plane sees a valid u*(i+1);
-    first/last chunks use clamped ext ranges whose static in-block offsets
-    (1/2/3) are selected by three predicated staging branches.
+                    njl: int | None = None, csf: bool = False):
+    """Double-buffered slab loop. Ext block covers [i0-HW, i0+B+HW) with
+    halo width HW = 2 (csf: 3 — kappa's F cone) so the rhs of every
+    stored plane sees a valid u*(i+1); first/last chunks use clamped ext
+    ranges whose static in-block offsets (1/HW/2HW-1) are selected by
+    three predicated staging branches.
 
     nloc/gib: local plane l has GLOBAL i-index gib[0] + l (serial:
     nloc = g.nx, gib = [0]). All masks are global, so the distributed
@@ -331,11 +380,12 @@ def _predict_kernel(u_hbm, v_hbm, w_hbm, F_hbm, gib,
     gj0 = gib[1] if njl is not None else None
     n0 = nloc + 2
     nc = nloc // B
-    E = B + 4
+    HW = 3 if csf else 2
+    E = B + 2 * HW
 
     def ext_start(c):
         return jnp.where(c == 0, 0,
-                         jnp.where(c == nc - 1, n0 - E, 1 + c * B - 2))
+                         jnp.where(c == nc - 1, n0 - E, 1 + c * B - HW))
 
     ins = ((u_hbm, ub), (v_hbm, vb), (w_hbm, wb), (F_hbm, Fb))
     outs = ((usb, us_hbm), (vsb, vs_hbm), (wsb, ws_hbm), (rhsb, rhs_hbm))
@@ -377,7 +427,8 @@ def _predict_kernel(u_hbm, v_hbm, w_hbm, F_hbm, gib,
         gj = None if gj0 is None else _iota3(u_.shape, 1) + gj0
         u_, v_, w_ = _bc_fix_uvw(g, u_, v_, w_, gi, gj)
         us, vs, ws, rhs = _predict_block(
-            g, fl, dt, u_, v_, w_, Fb[pl.ds(s0, E)], es + gi_base, gj0)
+            g, fl, dt, u_, v_, w_, Fb[pl.ds(s0, E)], es + gi_base, gj0,
+            csf=csf)
 
         # the staging slot was last used by chunk c-2: drain its output DMA
         @pl.when(c >= 2)
@@ -393,8 +444,8 @@ def _predict_kernel(u_hbm, v_hbm, w_hbm, F_hbm, gib,
             return f
 
         pl.when(c == 0)(stage(1))
-        pl.when((c > 0) & (c < nc - 1))(stage(2))
-        pl.when(c == nc - 1)(stage(3))
+        pl.when((c > 0) & (c < nc - 1))(stage(HW))
+        pl.when(c == nc - 1)(stage(2 * HW - 1))
 
         for i in range(4):
             out_dma(slot, c, i).start()
@@ -430,18 +481,23 @@ def _gib_vec(gi_base, gj_base, pencil: bool):
 def pallas_predict3d_rhs(g: Grid3D, fl: Fluid, dt, u, v, w, F,
                          interpret: bool = False,
                          nloc: int | None = None, gi_base: int = 0,
-                         njl: int | None = None, gj_base=0):
+                         njl: int | None = None, gj_base=0,
+                         csf: bool = False):
     """Returns (u_star, v_star, w_star, rhs), all full-shape. njl/gj_base:
-    pencil engine (see _predict_kernel)."""
+    pencil engine; csf: fused normals+curvature+sigma terms (see
+    _predict_kernel / _predict_block)."""
     if nloc is None:
         nloc = g.nx
     B = _pick_chunk(nloc)
     shape = jax.ShapeDtypeStruct(F.shape, F.dtype)
-    E = B + 4
+    E = B + (6 if csf else 4)
     plane = F.shape[1:]
     blk = lambda n: pltpu.VMEM((n, *plane), F.dtype)  # noqa: E731
+    # csf adds the normals/curvature temporaries (~4 E-blocks live)
+    vmem_blocks = 64 if csf else 52
     return pl.pallas_call(
-        partial(_predict_kernel, g=g, fl=fl, dt=dt, B=B, nloc=nloc, njl=njl),
+        partial(_predict_kernel, g=g, fl=fl, dt=dt, B=B, nloc=nloc, njl=njl,
+                csf=csf),
         out_shape=(shape,) * 4,
         in_specs=_any_specs(4)
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM)],
@@ -453,7 +509,8 @@ def pallas_predict3d_rhs(g: Grid3D, fl: Fluid, dt, u, v, w, F,
             pltpu.SemaphoreType.DMA((8,)),
             pltpu.SemaphoreType.DMA((8,)),
         ],
-        compiler_params=_vmem_params(52 * E * plane[0] * plane[1] * 4),
+        compiler_params=_vmem_params(
+            vmem_blocks * E * plane[0] * plane[1] * 4),
         interpret=interpret,
     )(u, v, w, F, _gib_vec(gi_base, gj_base, njl is not None))
 

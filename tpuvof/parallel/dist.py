@@ -272,17 +272,29 @@ class Decomp:
             r = r - self._gsum(r) / npts
             return self._gmax(jnp.abs(r))
 
+        # stall carry mirrors ops.poisson._rbsor exactly (the residuals
+        # are psum/pmax-identical on every shard, so trip counts — incl.
+        # the f32 floor exit — match serial)
+        from ..ops.poisson import STALL_ITERS
+
         def cond(carry):
-            p, it = carry
-            return (it < nm.sor_max_iter) & (resid(p) > nm.sor_tol)
+            p, it, r, best, stall = carry
+            return ((it < nm.sor_max_iter) & (r > nm.sor_tol)
+                    & (stall < STALL_ITERS))
 
         def body(carry):
-            p, it = carry
+            p, it, r, best, stall = carry
             p = half_sweep(p, red)
             p = half_sweep(p, ~red)
-            return p, it + 1
+            r = resid(p)
+            improved = r < best
+            best = jnp.minimum(best, r)
+            stall = jnp.where(improved, 0, stall + 1)
+            return p, it + 1, r, best, stall
 
-        p, _ = lax.while_loop(cond, body, (p, jnp.zeros((), jnp.int32)))
+        i0 = jnp.zeros((), jnp.int32)
+        r0 = resid(p)
+        p, *_ = lax.while_loop(cond, body, (p, i0, r0, r0, i0))
         return p
 
     def _solve_pressure(self, p, u_star, v_star, rho):

@@ -85,8 +85,11 @@ def _rbsor_3d(g: Grid3D, p, rhs, omega: float, tol: float, max_iter: int):
     also runs fixed 10 sweeps, 3dvof.py:598-623): coloring on
     (i+j+k) % 2, the rhs nullspace projected out (pure-Neumann system;
     pressure is defined up to a constant), `lax.while_loop` exits when
-    max|Ap - rhs| <= tol. Not differentiable (while_loop); the diff
-    path keeps the fixed-iteration solvers."""
+    max|Ap - rhs| <= tol — or at the dtype's residual floor
+    (ops.poisson.STALL_ITERS with no new best; the f32 TPU case). Not
+    differentiable (while_loop); the diff path keeps the
+    fixed-iteration solvers."""
+    from .ops.poisson import STALL_ITERS
     rhs = rhs - jnp.mean(rhs)
     coeffs = _poisson_coeffs_3d(g, p.dtype)
     ap_inv = coeffs[-1]
@@ -108,16 +111,22 @@ def _rbsor_3d(g: Grid3D, p, rhs, omega: float, tol: float, max_iter: int):
         return jnp.max(jnp.abs(r))
 
     def cond(carry):
-        p, it = carry
-        return (it < max_iter) & (resid(p) > tol)
+        p, it, r, best, stall = carry
+        return (it < max_iter) & (r > tol) & (stall < STALL_ITERS)
 
     def body(carry):
-        p, it = carry
+        p, it, r, best, stall = carry
         p = half_sweep(p, red)
         p = half_sweep(p, ~red)
-        return p, it + 1
+        r = resid(p)
+        improved = r < best
+        best = jnp.minimum(best, r)
+        stall = jnp.where(improved, 0, stall + 1)
+        return p, it + 1, r, best, stall
 
-    p, _ = jax.lax.while_loop(cond, body, (p, jnp.zeros((), jnp.int32)))
+    i0 = jnp.zeros((), jnp.int32)
+    r0 = resid(p)
+    p, *_ = jax.lax.while_loop(cond, body, (p, i0, r0, r0, i0))
     return p
 
 
@@ -177,7 +186,10 @@ def _apply_bc_3d_win(g: Grid3D, u, v, w, F, p):
 
 
 def _step_3d_pallas(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
-                    state: State3D, phase: int) -> State3D:
+                    state: State3D, phase: int,
+                    pressure_solver: str = "jacobi",
+                    sor_omega: float = 1.7, sor_tol: float = 1e-3,
+                    sor_max_iter: int = 200, csf: bool = False) -> State3D:
     """Single padded-at-the-edges step (pads/unpads around the padded-state
     step; `simulate_3d` pads once outside its scan instead)."""
     p1, p2 = _pad_jk(g)
@@ -186,7 +198,9 @@ def _step_3d_pallas(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
     u, v, w, F, p = _apply_bc_3d_win(
         g, state.u, state.v, state.w, state.F, state.p)
     state = State3D(F=F, u=u, v=v, w=w, p=p)
-    state = _step_3d_pallas_padded(g, fl, dt, n_jacobi, state, phase)
+    state = _step_3d_pallas_padded(g, fl, dt, n_jacobi, state, phase,
+                                   pressure_solver, sor_omega, sor_tol,
+                                   sor_max_iter, csf)
     u, v, w, F, p = _apply_bc_3d_win(
         g, state.u, state.v, state.w, state.F, state.p)
     state = State3D(F=F, u=u, v=v, w=w, p=p)
@@ -195,7 +209,11 @@ def _step_3d_pallas(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
 
 
 def _step_3d_pallas_padded(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
-                           state: State3D, phase: int) -> State3D:
+                           state: State3D, phase: int,
+                           pressure_solver: str = "jacobi",
+                           sor_omega: float = 1.7, sor_tol: float = 1e-3,
+                           sor_max_iter: int = 200,
+                           csf: bool = False) -> State3D:
     """The whole step on the slab-tiled Pallas kernels (VERDICT r1 #1):
     predict+rhs, chunk-streamed Jacobi, correction, and the three FCT
     sweeps each run as one double-buffered VMEM-streaming kernel; one
@@ -244,9 +262,35 @@ def _step_3d_pallas_padded(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
     F, u, v, w, p = state
 
     us, vs, ws, rhs = pallas_predict3d_rhs(
-        g, fl, dt, u, v, w, F, interpret=interpret
+        g, fl, dt, u, v, w, F, interpret=interpret, csf=csf
     )
-    p = pallas_jacobi_3d(g, n_jacobi, p, rhs, interpret=interpret)
+    if pressure_solver == "jacobi":
+        p = pallas_jacobi_3d(g, n_jacobi, p, rhs, interpret=interpret)
+    else:
+        # HYBRID projection (VERDICT r3 #3): the residual-driven solvers
+        # are while_loops that cannot live in the chunked VMEM kernel, so
+        # the solve runs as XLA between the Pallas predict and correct
+        # phases, on the jk-pad-stripped layout. Only p's interior is
+        # consumed downstream (the correction masks every row that could
+        # see a ghost), and p's pad region must STAY zero (p persists
+        # across steps), hence the zeros_like re-embed.
+        ny2, nz2 = g.ny + 2, g.nz + 2
+        p_un = p[:, :ny2, :nz2]
+        rhs_int = rhs[1:g.nx + 1, 1:ny2 - 1, 1:nz2 - 1]
+        if pressure_solver == "rbsor":
+            p_sol = _rbsor_3d(g, p_un, rhs_int, sor_omega, sor_tol,
+                              sor_max_iter)
+        elif pressure_solver == "mg":
+            from .ops.mg import mg_solve
+
+            p_sol = mg_solve(p_un, rhs_int,
+                             (g.dxi**2, g.dyi**2, g.dzi**2),
+                             sor_tol, sor_max_iter)
+        else:
+            raise ValueError(
+                f"unknown pressure_solver {pressure_solver!r} "
+                "(expected 'jacobi', 'rbsor', or 'mg')")
+        p = jnp.zeros_like(p).at[:, :ny2, :nz2].set(p_sol)
     u, v, w = pallas_correct3d(g, fl, dt, us, vs, ws, p, F,
                                interpret=interpret)
     vels = (u, v, w)
@@ -257,11 +301,11 @@ def _step_3d_pallas_padded(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
     return State3D(F=F, u=u, v=v, w=w, p=p)
 
 
-def pallas3d_supported(g: Grid3D) -> bool:
+def pallas3d_supported(g: Grid3D, csf: bool = False) -> bool:
     from .pallas_kernels.jacobi3d import jacobi3d_fits_vmem
     from .pallas_kernels.step3d import step3d_slab_supported
 
-    return step3d_slab_supported(g) and jacobi3d_fits_vmem(g)
+    return step3d_slab_supported(g, csf) and jacobi3d_fits_vmem(g)
 
 
 def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
@@ -274,31 +318,21 @@ def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
     step runs phase 1). backend='pallas' runs the slab-tiled kernel
     pipeline (any grid with even nx that fits the Jacobi VMEM envelope,
     up to ~220^3); unsupported grids fall back to the XLA path with a
-    warning. pressure_solver='rbsor' swaps the reference-parity fixed
-    Jacobi sweeps for the residual-driven red-black SOR upgrade
-    (_rbsor_3d; XLA path only — the slab kernels implement the fixed
-    iteration, so backend='pallas' falls back with a warning, exactly
-    like the 2-D engines). ``csf=True`` enables 3-D surface tension
-    (Youngs normals + Brackbill curvature, ops/normals3d.py) — an
-    UPGRADE over the reference, whose 3-D normals kernel is commented
-    out so kappa stays zero (3dvof.py:304-332,607); the default False
-    keeps reference parity bit-for-bit. XLA path only (the slab kernels
-    bake in the zero-kappa predictor); serial only."""
-    if backend == "pallas" and (pressure_solver != "jacobi" or csf):
-        import warnings
-
-        what = " and ".join(
-            ([f"pressure_solver={pressure_solver!r}"]
-             if pressure_solver != "jacobi" else [])
-            + (["csf=True"] if csf else []))
-        warnings.warn(
-            f"{what} needs the XLA path (the slab kernels implement the "
-            "fixed-iteration Jacobi with zero-kappa predictor); backend "
-            "falls back to 'xla'")
-        backend = "xla"
+    warning. pressure_solver='rbsor'/'mg' swaps the reference-parity
+    fixed Jacobi sweeps for a residual-driven upgrade (_rbsor_3d /
+    ops.mg.mg_solve); with backend='pallas' the step runs HYBRID —
+    Pallas predict/correct/sweeps with the XLA solve hosted between
+    them (VERDICT r3 #3). ``csf=True`` enables 3-D surface tension
+    (Youngs normals + Brackbill curvature, ops/normals3d.py; fused into
+    the slab predict kernel when backend='pallas') — an UPGRADE over the
+    reference, whose 3-D normals kernel is commented out so kappa stays
+    zero (3dvof.py:304-332,607); the default False keeps reference
+    parity bit-for-bit."""
     if backend == "pallas":
-        if pallas3d_supported(g):
-            return _step_3d_pallas(g, fl, dt, n_jacobi, state, phase)
+        if pallas3d_supported(g, csf):
+            return _step_3d_pallas(g, fl, dt, n_jacobi, state, phase,
+                                   pressure_solver, sor_omega, sor_tol,
+                                   sor_max_iter, csf)
         import warnings
 
         warnings.warn(
@@ -362,18 +396,6 @@ def simulate_3d(g: Grid3D, state: State3D, n_steps: int,
     before the jitted core, so chunked drivers compile at most three
     programs per shape."""
     g.validate()  # cubic cells only (the 3-D FCT scale factors assume it)
-    if backend == "pallas" and (pressure_solver != "jacobi" or csf):
-        import warnings
-
-        what = " and ".join(
-            ([f"pressure_solver={pressure_solver!r}"]
-             if pressure_solver != "jacobi" else [])
-            + (["csf=True"] if csf else []))
-        warnings.warn(
-            f"{what} needs the XLA path (the slab kernels implement the "
-            "fixed-iteration Jacobi with zero-kappa predictor); backend "
-            "falls back to 'xla'")
-        backend = "xla"
     return _simulate_3d_impl(g, state, n_steps, dt, n_jacobi, fl,
                              backend, istep0 % 3, pressure_solver,
                              sor_omega, sor_tol, sor_max_iter, csf)
@@ -387,7 +409,7 @@ def _simulate_3d_impl(g: Grid3D, state: State3D, n_steps: int,
                       sor_omega: float = 1.7, sor_tol: float = 1e-3,
                       sor_max_iter: int = 200, csf: bool = False) -> State3D:
     fl = fl or Fluid()
-    use_pallas = backend == "pallas" and pallas3d_supported(g)
+    use_pallas = backend == "pallas" and pallas3d_supported(g, csf)
     if use_pallas:
         p1, p2 = _pad_jk(g)
         state = State3D(
@@ -400,7 +422,8 @@ def _simulate_3d_impl(g: Grid3D, state: State3D, n_steps: int,
             g, state.u, state.v, state.w, state.F, state.p)
         state = State3D(F=F, u=u, v=v, w=w, p=p)
         stepper = lambda s, ph: _step_3d_pallas_padded(  # noqa: E731
-            g, fl, dt, n_jacobi, s, ph)
+            g, fl, dt, n_jacobi, s, ph, pressure_solver, sor_omega,
+            sor_tol, sor_max_iter, csf)
     else:
         stepper = lambda s, ph: step_3d(  # noqa: E731
             g, fl, dt, n_jacobi, s, ph, backend, pressure_solver,
