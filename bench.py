@@ -92,6 +92,29 @@ def bench_2048_beyond_vmem(tv, n_steps=500):
     return n * n * n_steps / best, best
 
 
+def bench_512_rbsor(tv, n_steps=200):
+    """Numerics-upgrade gate (VERDICT r3 #7): 512^2 dam break with the
+    residual-driven RB-SOR pressure solver at the config-default tol on
+    the HYBRID pallas step (Pallas predict/FCT phase kernels + the XLA
+    solve between them). Catches regressions in the upgrade path that the
+    fixed-Jacobi keys cannot see. Fewer steps: each step runs a
+    to-tolerance solve, ~10x the fixed-10-sweep cost."""
+    cfg = tv.SimConfig(grid=tv.Grid2D(512, 512),
+                       num=tv.Numerics(backend="pallas",
+                                       pressure_solver="rbsor"))
+    state = tv.init_state(cfg, ic=1)
+
+    def run(s):
+        t0 = time.perf_counter()
+        out = tv.simulate(cfg, s, n_steps)
+        np.asarray(out.F[:1, :8])
+        return time.perf_counter() - t0, out
+
+    _, s = run(state)  # warmup / compile
+    best = min(run(state)[0] for _ in range(3))
+    return 512 * 512 * n_steps / best, best
+
+
 def bench_dist_512(tv, n_steps=1000):
     """Distributed machinery tax gate: 512^2 dam break through Decomp on a
     1x1 mesh (windowed per-shard kernel), device-resident blocked state."""
@@ -152,7 +175,8 @@ def main():
     if jax.default_backend() != "cpu":
         for key, fn in (("cups_3d_200_pallas", bench_3d_200),
                         ("cups_dist_512_1x1", bench_dist_512),
-                        ("cups_2048_strips", bench_2048_beyond_vmem)):
+                        ("cups_2048_strips", bench_2048_beyond_vmem),
+                        ("cups_512_rbsor", bench_512_rbsor)):
             try:
                 cups_x, secs_x = fn(tv)
                 extras[key] = round(cups_x, 1)

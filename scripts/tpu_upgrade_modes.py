@@ -1,0 +1,103 @@
+"""TPU cost of the round-4 upgrade modes (VERDICT r3 #1d/#3).
+
+Measures, back-to-back in ONE process (CLAUDE.md: degraded-TPU windows):
+  2-D 512^2  : jacobi/pallas (baseline re-run), rbsor/HYBRID pallas,
+               rbsor/xla (what the r3 silent downgrade used to cost)
+  3-D 200^3  : csf=False pallas (baseline re-run), csf=True pallas
+               (in-kernel normals+curvature), rbsor/HYBRID pallas
+The rbsor cells run the config-default solve (sor_tol=1e-3,
+sor_max_iter=200) — the production upgrade setting, not a tight-tol
+study (that's scripts/tpu_mg_ab.py). Baselines re-run FIRST and the 2-D
+baseline repeats at the END as the env-drift check.
+
+Run detached (fresh Mosaic compiles of the hybrid/csf programs).
+Usage: python scripts/tpu_upgrade_modes.py   env STEPS2D=1000 STEPS3D=100
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+
+import tpuvof as tv
+from tpuvof.grid import Grid3D
+from tpuvof.solver3d import simulate_3d
+
+print("backend:", jax.default_backend(), flush=True)
+
+STEPS2D = int(os.environ.get("STEPS2D", "1000"))
+STEPS3D = int(os.environ.get("STEPS3D", "100"))
+REPS = int(os.environ.get("REPS", "3"))
+
+
+def cups2d(label, n, backend, solver, steps=None):
+    steps = steps or STEPS2D
+    num = tv.Numerics(backend=backend, pressure_solver=solver)
+    cfg = tv.SimConfig(grid=tv.Grid2D(n, n), num=num)
+    s = tv.init_state(cfg, ic=1)
+    t0 = time.perf_counter()
+    s = tv.simulate(cfg, s, steps)
+    np.asarray(s.F[:1, :1])
+    comp = time.perf_counter() - t0
+    best = None
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        s = tv.simulate(cfg, s, steps, istep0=0)
+        np.asarray(s.F[:1, :1])
+        best = min(best or 1e9, time.perf_counter() - t0)
+    c = n * n * steps / best
+    assert np.isfinite(np.asarray(s.F)).all(), label
+    print(f"{label:34s}: compile {comp:6.1f}s  best {best:.3f}s "
+          f"-> {c / 1e9:.3f}e9 CUPS", flush=True)
+    return c
+
+
+def cups3d(label, n, backend, solver="jacobi", csf=False, steps=None):
+    steps = steps or STEPS3D
+    g = Grid3D(n, n, n)
+    s = tv.init_state_3d(g, ic=1)
+    kw = dict(backend=backend, pressure_solver=solver, csf=csf)
+    t0 = time.perf_counter()
+    s = simulate_3d(g, s, steps, **kw)
+    np.asarray(s.F[:1, :1, :8])
+    comp = time.perf_counter() - t0
+    best = None
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        s = simulate_3d(g, s, steps, istep0=0, **kw)
+        np.asarray(s.F[:1, :1, :8])
+        best = min(best or 1e9, time.perf_counter() - t0)
+    c = n ** 3 * steps / best
+    assert np.isfinite(np.asarray(s.F)).all(), label
+    print(f"{label:34s}: compile {comp:6.1f}s  best {best:.3f}s "
+          f"-> {c / 1e9:.3f}e9 CUPS", flush=True)
+    return c
+
+
+out = {}
+# baselines first (warm the process; also the reference points)
+out["2d_512_jacobi_mono"] = cups2d("2d 512^2 jacobi pallas(mono)", 512,
+                                   "pallas", "jacobi")
+out["3d_200_jacobi_pallas"] = cups3d("3d 200^3 jacobi pallas", 200, "pallas")
+
+# the upgrade modes
+out["2d_512_rbsor_hybrid"] = cups2d("2d 512^2 rbsor HYBRID pallas", 512,
+                                    "pallas", "rbsor")
+out["2d_512_rbsor_xla"] = cups2d("2d 512^2 rbsor xla", 512, "xla", "rbsor")
+out["3d_200_csf_pallas"] = cups3d("3d 200^3 csf pallas", 200, "pallas",
+                                  csf=True)
+out["3d_200_rbsor_hybrid"] = cups3d("3d 200^3 rbsor HYBRID pallas", 200,
+                                    "pallas", "rbsor")
+out["3d_200_csf_xla"] = cups3d("3d 200^3 csf xla (r3 fallback)", 200,
+                               "xla", csf=True, steps=20)
+
+# env-drift check
+out["2d_512_jacobi_mono_recheck"] = cups2d(
+    "2d 512^2 jacobi pallas (recheck)", 512, "pallas", "jacobi")
+
+print("\nsummary (CUPS):", flush=True)
+for k, v in out.items():
+    print(f"  {k:28s} {v / 1e9:.3f}e9", flush=True)

@@ -46,7 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..grid import Grid3D
 from .step3d import _gib_vec
 
-__all__ = ["jacobi3d_fits_vmem", "pallas_jacobi_3d"]
+__all__ = ["jacobi3d_fits_vmem", "pallas_jacobi_3d",
+           "streamed_jacobi_3d"]
 
 
 def _padded_dims(g: Grid3D):
@@ -241,6 +242,186 @@ def _kernel(p_ref, rhs_ref, gib, out_ref, wplane, rhs_buf, sem,
         return carry
 
     lax.fori_loop(0, n_iter, iter_body, 0)
+
+
+def _streamed_iter_kernel(p_hbm, rhs_hbm, p_out, pbuf, rbuf, obuf,
+                          isems, osems,
+                          *, g: Grid3D, B: int):
+    """ONE out-of-place Jacobi iteration with p, rhs, and the output all
+    HBM-resident: chunks of B planes stream through VMEM double-buffered
+    (prefetch chunk c+1's p-ext/rhs while computing chunk c). Out-of-place
+    means no old-west-plane bookkeeping: the ext read [i0-1, i0+B+1) comes
+    entirely from the UNTOUCHED input volume, exactly the XLA path's
+    update. Ghost semantics are applied at READ time (the input's ghost
+    ring holds the previous step's BC mirrors on iteration 0): every
+    loaded plane is masked to zero on the global ghost ring before the
+    stencil, and the stored planes re-mask, so the returned volume has
+    the same zeroed ghost ring as the resident kernel (_kernel)."""
+    nx = g.nx
+    n1p, n2p = p_hbm.shape[1], p_hbm.shape[2]
+    dtype = p_hbm.dtype
+    nc = nx // B
+    eshape = (B + 2, n1p, n2p)
+    bshape = (B, n1p, n2p)
+
+    # masks are built at the shape they are USED at, never sliced: slicing
+    # a value that is constant along axis 0 (a broadcast layout) crashes
+    # Mosaic's vector_extract_strided_slice ("limits[i] <= dim(i)")
+    j = lax.broadcasted_iota(jnp.int32, eshape, 1)
+    k = lax.broadcasted_iota(jnp.int32, eshape, 2)
+    ghost_jk = (j == 0) | (j >= g.ny + 1) | (k == 0) | (k >= g.nz + 1)
+    iota0 = lax.broadcasted_iota(jnp.int32, eshape, 0)
+    jb = lax.broadcasted_iota(jnp.int32, bshape, 1)
+    kb = lax.broadcasted_iota(jnp.int32, bshape, 2)
+    ghost_jk_b = ((jb == 0) | (jb >= g.ny + 1) | (kb == 0)
+                  | (kb >= g.nz + 1))
+    eyb = (jb == 1) | (jb == g.ny)
+    ezb = (kb == 1) | (kb == g.nz)
+    iota0b = lax.broadcasted_iota(jnp.int32, bshape, 0)
+
+    # ---- the 8 edge-class diagonal constants (f64 accumulation order of
+    # solver3d._poisson_coeffs_3d, cast to the field dtype — identical
+    # code path to the resident kernel so the two agree bit-for-bit) ----
+    dxi2 = np.float64(g.dxi) ** 2
+    dyi2 = np.float64(g.dyi) ** 2
+    dzi2 = np.float64(g.dzi) ** 2
+
+    def const(ex, ey, ez):
+        t = dxi2 if ex else dxi2 + dxi2
+        for _ in range(2 - ey):
+            t = t + dyi2
+        for _ in range(2 - ez):
+            t = t + dzi2
+        return jnp.asarray(-1.0 / t, dtype)
+
+    cx = jnp.asarray(dxi2, dtype)
+    cy = jnp.asarray(dyi2, dtype)
+    cz = jnp.asarray(dzi2, dtype)
+
+    def in_dma(slot, c):
+        i0 = c * B  # ext start (plane i0 .. i0+B+1), global ghost at 0
+        return (
+            pltpu.make_async_copy(p_hbm.at[pl.ds(i0, B + 2)],
+                                  pbuf.at[slot], isems.at[slot, 0]),
+            pltpu.make_async_copy(rhs_hbm.at[pl.ds(1 + c * B, B)],
+                                  rbuf.at[slot], isems.at[slot, 1]),
+        )
+
+    def out_dma(slot, c):
+        return pltpu.make_async_copy(obuf.at[slot],
+                                     p_out.at[pl.ds(1 + c * B, B)],
+                                     osems.at[slot])
+
+    for d in in_dma(0, 0):
+        d.start()
+
+    def chunk_body(c, _):
+        slot = lax.rem(c, 2)
+
+        @pl.when(c + 1 < nc)
+        def _():
+            for d in in_dma(lax.rem(c + 1, 2), c + 1):
+                d.start()
+
+        for d in in_dma(slot, c):
+            d.wait()
+        gi = iota0 + c * B  # ext plane l has global i-index c*B + l
+        ghost = ghost_jk | (gi <= 0) | (gi >= nx + 1)
+        ext = jnp.where(ghost, 0.0, pbuf[slot])
+        center = lax.slice_in_dim(ext, 1, B + 1, axis=0)
+        east = lax.slice_in_dim(ext, 2, B + 2, axis=0)
+        west = lax.slice_in_dim(ext, 0, B, axis=0)
+        gic = iota0b + (1 + c * B)
+        ex = (gic == 1) | (gic == nx)
+        ap_inv = jnp.where(
+            ex,
+            jnp.where(eyb, jnp.where(ezb, const(1, 1, 1), const(1, 1, 0)),
+                      jnp.where(ezb, const(1, 0, 1), const(1, 0, 0))),
+            jnp.where(eyb, jnp.where(ezb, const(0, 1, 1), const(0, 1, 0)),
+                      jnp.where(ezb, const(0, 0, 1), const(0, 0, 0))),
+        )
+        # subtraction order matches the XLA path: e, w, n, s, f, b
+        val = (
+            rbuf[slot]
+            - cx * east
+            - cx * west
+            - cy * jnp.roll(center, -1, axis=1)
+            - cy * jnp.roll(center, 1, axis=1)
+            - cz * jnp.roll(center, -1, axis=2)
+            - cz * jnp.roll(center, 1, axis=2)
+        ) * ap_inv
+        gh_c = ghost_jk_b | (gic <= 0) | (gic >= nx + 1)
+
+        @pl.when(c >= 2)
+        def _():
+            out_dma(slot, c - 2).wait()
+
+        obuf[slot] = jnp.where(gh_c, 0.0, val)
+        out_dma(slot, c).start()
+        return 0
+
+    lax.fori_loop(0, nc, chunk_body, 0, unroll=False)
+    # drain the last (up to) two in-flight output DMAs, then write the
+    # output volume's ghost planes (never stored by the chunk loop) from a
+    # zeroed slot
+    for c in range(max(0, nc - 2), nc):
+        out_dma(c % 2, c).wait()
+    obuf[0, 0:1] = jnp.zeros((1, n1p, n2p), dtype)
+    lo = pltpu.make_async_copy(obuf.at[0, pl.ds(0, 1)],
+                               p_out.at[pl.ds(0, 1)], osems.at[0])
+    hi = pltpu.make_async_copy(obuf.at[0, pl.ds(0, 1)],
+                               p_out.at[pl.ds(nx + 1, 1)], osems.at[1])
+    lo.start()
+    hi.start()
+    lo.wait()
+    hi.wait()
+
+
+def streamed_jacobi_3d(g: Grid3D, n_iter: int, p, rhs,
+                       interpret: bool = False):
+    """Beyond-VMEM fixed-iteration Jacobi (VERDICT r3 #4): p stays
+    HBM-resident and each iteration streams it through VMEM out-of-place
+    (read p + rhs, write p' = ~3 volumes of HBM traffic per iteration vs
+    the resident kernel's amortized ~3 volumes TOTAL). Same update rule
+    as `pallas_jacobi_3d` (same edge-class constants, same subtraction
+    order, same zeroed ghost ring; agrees with it to 1 ulp over 10 f64
+    iterations — tests/test_3d.py); serial x-slab layout only
+    (the distributed engines shard the volume below the VMEM envelope
+    already). n_iter unrolls as a Python loop of kernel launches — the
+    per-launch cost is negligible against the ~300 MB streamed per
+    iteration at 256^3."""
+    n1p, n2p = p.shape[1], p.shape[2]
+    B = None
+    for b in (8, 4, 2):
+        if g.nx % b == 0:
+            B = b
+            break
+    if B is None:
+        raise ValueError(f"streamed_jacobi_3d needs even nx (got {g.nx})")
+
+    call = pl.pallas_call(
+        partial(_streamed_iter_kernel, g=g, B=B),
+        out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, B + 2, n1p, n2p), p.dtype),
+            pltpu.VMEM((2, B, n1p, n2p), p.dtype),
+            pltpu.VMEM((2, B, n1p, n2p), p.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(124 * 2**20,
+                                 16 * (B + 2) * n1p * n2p * 4)),
+        interpret=interpret,
+    )
+    for _ in range(n_iter):
+        p = call(p, rhs)
+    return p
 
 
 def pallas_jacobi_3d(g: Grid3D, n_iter: int, p, rhs, interpret: bool = False,

@@ -265,7 +265,18 @@ def _step_3d_pallas_padded(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
         g, fl, dt, u, v, w, F, interpret=interpret, csf=csf
     )
     if pressure_solver == "jacobi":
-        p = pallas_jacobi_3d(g, n_jacobi, p, rhs, interpret=interpret)
+        from .pallas_kernels import jacobi3d as _j3d
+
+        if _j3d.jacobi3d_fits_vmem(g):
+            p = pallas_jacobi_3d(g, n_jacobi, p, rhs, interpret=interpret)
+        else:
+            # beyond the resident-Jacobi VMEM envelope (~232^3) the
+            # volume streams through VMEM out-of-place instead of the
+            # round-3 whole-step XLA fallback (VERDICT r3 #4; measured
+            # A/B: scripts/tpu_streamed256.py). Module-attr call so the
+            # routing tests can monkeypatch it.
+            p = _j3d.streamed_jacobi_3d(g, n_jacobi, p, rhs,
+                                        interpret=interpret)
     else:
         # HYBRID projection (VERDICT r3 #3): the residual-driven solvers
         # are while_loops that cannot live in the chunked VMEM kernel, so
@@ -302,10 +313,14 @@ def _step_3d_pallas_padded(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
 
 
 def pallas3d_supported(g: Grid3D, csf: bool = False) -> bool:
-    from .pallas_kernels.jacobi3d import jacobi3d_fits_vmem
+    """Slab-kernel admission is the only gate: grids whose resident
+    Jacobi volume no longer fits VMEM (~232^3) route the solve through
+    `streamed_jacobi_3d` instead of falling back to XLA (VERDICT r3 #4).
+    streamed_jacobi_3d needs even nx, which step3d_slab_supported's
+    chunk admission already implies."""
     from .pallas_kernels.step3d import step3d_slab_supported
 
-    return step3d_slab_supported(g, csf) and jacobi3d_fits_vmem(g)
+    return step3d_slab_supported(g, csf)
 
 
 def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
@@ -316,9 +331,12 @@ def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
     """One step; ``phase`` = istep % 3 selects the sweep rotation
     (3dvof.py:351-363; the main loop pre-increments istep, so the first
     step runs phase 1). backend='pallas' runs the slab-tiled kernel
-    pipeline (any grid with even nx that fits the Jacobi VMEM envelope,
-    up to ~220^3); unsupported grids fall back to the XLA path with a
-    warning. pressure_solver='rbsor'/'mg' swaps the reference-parity
+    pipeline (any grid with even nx whose per-chunk working set fits
+    VMEM — plane sizes to ~1024^2); grids beyond the RESIDENT-Jacobi
+    envelope (~232^3) host the HBM-streamed Jacobi between the slab
+    kernels instead of falling back (VERDICT r3 #4); grids the slab
+    kernels cannot admit fall back to the XLA path with a warning.
+    pressure_solver='rbsor'/'mg' swaps the reference-parity
     fixed Jacobi sweeps for a residual-driven upgrade (_rbsor_3d /
     ops.mg.mg_solve); with backend='pallas' the step runs HYBRID —
     Pallas predict/correct/sweeps with the XLA solve hosted between
@@ -337,9 +355,8 @@ def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
 
         warnings.warn(
             f"backend='pallas' requested at {g.nx}x{g.ny}x{g.nz}, but the "
-            "slab kernels need nx divisible by 2 with >=3 chunks and the "
-            "pressure volume VMEM-resident (~220^3 f32 max); using the "
-            "XLA path.")
+            "slab kernels need nx divisible by 2 with >=3 chunks and a "
+            "per-chunk working set that fits VMEM; using the XLA path.")
     F, u, v, w, p = state
     rho, nu = mix_properties(fl, F)
     if csf:
