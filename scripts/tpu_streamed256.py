@@ -6,10 +6,11 @@ This measures the round-4 alternative: slab kernels for predict/correct/
 sweeps (their per-chunk working set still fits) + the HBM-streamed
 out-of-place Jacobi (pallas_kernels.jacobi3d.streamed_jacobi_3d).
 
-Stage 1: 240^3 trajectory agreement pallas(streamed) vs xla (30 steps) —
-240 is beyond the resident-Jacobi envelope (~232^3) so the streamed
-routing is what actually runs. Stage 2: 256^3 timing, pallas vs xla,
-best-of-3, xla LAST as the env-drift check is the baseline itself.
+Stage 1: N^3 trajectory agreement pallas(streamed) vs xla (30 steps) at
+N=256 itself — beyond the resident-Jacobi envelope (which reaches ~250^3
+where the z-pad is favorable; 256^3 pads nz to 384 and does not fit), so
+the streamed routing is what actually runs. Stage 2: N^3 timing, pallas
+vs xla, best-of-3.
 
 Run detached: fresh Mosaic compiles. env STEPS=100 N=256
 """
@@ -48,19 +49,21 @@ def run(n, steps, backend, reps=1):
     return out, comp, best
 
 
-# ---- stage 1: correctness at 240^3 (streamed routing active) ----
-g240 = Grid3D(240, 240, 240)
-assert not jacobi3d_fits_vmem(g240), "240^3 unexpectedly fits VMEM"
-assert pallas3d_supported(g240), "240^3 should admit the streamed route"
-a, ca, ta = run(240, 30, "xla", reps=1)
-print(f"xla    240^3 x30: compile {ca:.1f}s run {ta:.3f}s", flush=True)
-b, cb, tb = run(240, 30, "pallas", reps=1)
-print(f"pallas 240^3 x30: compile {cb:.1f}s run {tb:.3f}s", flush=True)
+# ---- stage 1: correctness at N^3 (streamed routing active) ----
+gN = Grid3D(N, N, N)
+assert not jacobi3d_fits_vmem(gN), f"{N}^3 unexpectedly fits VMEM"
+assert pallas3d_supported(gN), f"{N}^3 should admit the streamed route"
+a, ca, ta = run(N, 30, "xla", reps=1)
+print(f"xla    {N}^3 x30: compile {ca:.1f}s run {ta:.3f}s", flush=True)
+b, cb, tb = run(N, 30, "pallas", reps=1)
+print(f"pallas {N}^3 x30: compile {cb:.1f}s run {tb:.3f}s", flush=True)
 for name in ("F", "u", "v", "w", "p"):
     x = np.asarray(getattr(a, name), np.float64)
     y = np.asarray(getattr(b, name), np.float64)
     print(f"  {name}: max|diff| = {np.abs(x - y).max():.3e}", flush=True)
 assert np.isfinite(np.asarray(b.F)).all()
+assert np.abs(np.asarray(a.F, np.float64)
+              - np.asarray(b.F, np.float64)).max() < 1e-3
 
 # ---- stage 2: 256^3 timing ----
 _, cp, tp = run(N, STEPS, "pallas", reps=3)

@@ -31,6 +31,14 @@ print("backend:", jax.default_backend(), flush=True)
 STEPS2D = int(os.environ.get("STEPS2D", "1000"))
 STEPS3D = int(os.environ.get("STEPS3D", "100"))
 REPS = int(os.environ.get("REPS", "3"))
+# run a subset (comma list of the out{} keys); empty = all. One TPU-side
+# crash must not take down the whole sweep (the 3d_200_rbsor_hybrid cell
+# killed the worker once, round 4).
+CELLS = set(filter(None, os.environ.get("CELLS", "").split(",")))
+
+
+def want(key):
+    return not CELLS or key in CELLS
 
 
 def cups2d(label, n, backend, solver, steps=None):
@@ -78,25 +86,46 @@ def cups3d(label, n, backend, solver="jacobi", csf=False, steps=None):
 
 
 out = {}
-# baselines first (warm the process; also the reference points)
-out["2d_512_jacobi_mono"] = cups2d("2d 512^2 jacobi pallas(mono)", 512,
-                                   "pallas", "jacobi")
-out["3d_200_jacobi_pallas"] = cups3d("3d 200^3 jacobi pallas", 200, "pallas")
-
-# the upgrade modes
-out["2d_512_rbsor_hybrid"] = cups2d("2d 512^2 rbsor HYBRID pallas", 512,
-                                    "pallas", "rbsor")
-out["2d_512_rbsor_xla"] = cups2d("2d 512^2 rbsor xla", 512, "xla", "rbsor")
-out["3d_200_csf_pallas"] = cups3d("3d 200^3 csf pallas", 200, "pallas",
-                                  csf=True)
-out["3d_200_rbsor_hybrid"] = cups3d("3d 200^3 rbsor HYBRID pallas", 200,
-                                    "pallas", "rbsor")
-out["3d_200_csf_xla"] = cups3d("3d 200^3 csf xla (r3 fallback)", 200,
-                               "xla", csf=True, steps=20)
+cells2d = (
+    # baselines first (warm the process; also the reference points)
+    ("2d_512_jacobi_mono", "2d 512^2 jacobi pallas(mono)", "pallas",
+     "jacobi", None),
+    # the upgrade modes
+    ("2d_512_rbsor_hybrid", "2d 512^2 rbsor HYBRID pallas", "pallas",
+     "rbsor", None),
+    ("2d_512_rbsor_xla", "2d 512^2 rbsor xla", "xla", "rbsor", None),
+    ("2d_512_mg_hybrid", "2d 512^2 mg HYBRID pallas", "pallas", "mg",
+     None),
+)
+cells3d = (
+    ("3d_200_jacobi_pallas", "3d 200^3 jacobi pallas", "pallas",
+     "jacobi", False, None),
+    ("3d_200_csf_pallas", "3d 200^3 csf pallas", "pallas", "jacobi",
+     True, None),
+    ("3d_200_rbsor_hybrid", "3d 200^3 rbsor HYBRID pallas", "pallas",
+     "rbsor", False, None),
+    ("3d_200_mg_hybrid", "3d 200^3 mg HYBRID pallas", "pallas", "mg",
+     False, None),
+    ("3d_200_csf_xla", "3d 200^3 csf xla (r3 fallback)", "xla", "jacobi",
+     True, 20),
+)
+for key, label, backend, solver, steps in cells2d[:1]:
+    if want(key):
+        out[key] = cups2d(label, 512, backend, solver, steps)
+for key, label, backend, solver, csf, steps in cells3d[:1]:
+    if want(key):
+        out[key] = cups3d(label, 200, backend, solver, csf, steps)
+for key, label, backend, solver, steps in cells2d[1:]:
+    if want(key):
+        out[key] = cups2d(label, 512, backend, solver, steps)
+for key, label, backend, solver, csf, steps in cells3d[1:]:
+    if want(key):
+        out[key] = cups3d(label, 200, backend, solver, csf, steps)
 
 # env-drift check
-out["2d_512_jacobi_mono_recheck"] = cups2d(
-    "2d 512^2 jacobi pallas (recheck)", 512, "pallas", "jacobi")
+if want("2d_512_jacobi_mono_recheck"):
+    out["2d_512_jacobi_mono_recheck"] = cups2d(
+        "2d 512^2 jacobi pallas (recheck)", 512, "pallas", "jacobi")
 
 print("\nsummary (CUPS):", flush=True)
 for k, v in out.items():

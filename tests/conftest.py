@@ -21,3 +21,33 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+# ---- fast/slow split (VERDICT r3 #6) ----
+# The full suite takes ~50 minutes on the forced-CPU mesh; the heavy f64
+# residual-driven solves, fuzz sweeps, and long goldens are marked `slow`
+# (in the test files) and SKIPPED by default so the per-commit gate stays
+# ~10 minutes. Run everything with `pytest tests/ --runslow` (CI and the
+# round-close gate do).
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (the full ~50-minute suite)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy solve/fuzz/golden test, skipped unless "
+        "--runslow (or RUNSLOW=1) is given")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("RUNSLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow: use --runslow for the full suite")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -272,3 +272,99 @@ def test_compiled_mono_kernel_at_vmem_envelope_edge():
     F = np.asarray(s.F)
     assert np.isfinite(F).all()
     assert F.min() >= 0.0 and F.max() <= 1.0
+
+
+def test_compiled_rbsor_2d_hybrid_matches_xla():
+    """The round-4 numerics-upgrade surface on the real chip (VERDICT r3
+    #5): rbsor's on-device while_loop residual stop compiled on TPU,
+    hosted in the HYBRID 3-phase pallas step, vs the all-XLA rbsor path."""
+    num = dict(pressure_solver="rbsor", sor_tol=1e-4, sor_max_iter=5000)
+    cfg_x = tv.SimConfig(grid=tv.Grid2D(64, 64),
+                         num=tv.Numerics(backend="xla", **num))
+    cfg_p = cfg_x.replace(num=tv.Numerics(backend="pallas", **num))
+    from tpuvof.solver import effective_backend
+
+    assert effective_backend(cfg_p) == "pallas"
+    state = tv.init_state(cfg_x, ic=1)
+    a = tv.simulate(cfg_x, state, 20)
+    b = tv.simulate(cfg_p, state, 20)
+    for name in ("F", "u", "v", "p"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(b, name)), np.asarray(getattr(a, name)),
+            atol=TOL_2D[name], err_msg=name)
+    assert np.isfinite(np.asarray(b.F)).all()
+
+
+def test_compiled_mg_solve_converges():
+    """One mg solve-to-tolerance compiled on TPU: the recursive V-cycle
+    program (restriction/prolongation ladders) must converge a real
+    developed-flow rhs to its requested tolerance on-chip, f32."""
+    import jax
+    from tpuvof.ops.mg import mg_solve
+    from tpuvof.ops.poisson import divergence_rhs, residual
+
+    cfg = tv.SimConfig(grid=tv.Grid2D(128, 128))
+    s = tv.simulate(cfg, tv.init_state(cfg, ic=1), 100)
+    from tpuvof.ops import apply_bc, mix_properties
+
+    u, v, F, p = apply_bc(s.u, s.v, s.F, s.p)
+    rho, _ = mix_properties(cfg.fluid, F)
+    g = cfg.grid
+    rhs = divergence_rhs(g, cfg.num, u, v, rho)
+    r0 = float(residual(g, jnp.zeros_like(p), rhs))
+    tol = 1e-3 * r0
+    p_sol = jax.jit(lambda p0, r: mg_solve(p0, r, (g.dxi**2, g.dyi**2),
+                                           tol, 200))(jnp.zeros_like(p), rhs)
+    r = float(residual(g, p_sol, rhs))
+    assert np.isfinite(np.asarray(p_sol)).all()
+    assert r <= 1.05 * tol, f"mg residual {r:.3e} vs tol {tol:.3e}"
+
+
+def test_compiled_csf_3d_step_runs_slab_engine():
+    """csf=True on the real chip: the fused in-kernel normals+curvature
+    slab predictor (widened B+6 halo) must compile, run the pallas
+    engine (no fallback warning), stay finite/bounded, and visibly
+    differ from the csf=False trajectory."""
+    import warnings
+    from tpuvof.grid import Grid3D
+    from tpuvof.solver3d import simulate_3d
+
+    g = Grid3D(64, 64, 64)
+    state = tv.init_state_3d(g, ic=1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        on = simulate_3d(g, state, 30, backend="pallas", csf=True)
+    off = simulate_3d(g, state, 30, backend="pallas")
+    F = np.asarray(on.F)
+    assert np.isfinite(F).all() and F.min() >= 0.0 and F.max() <= 1.0
+    assert float(jnp.max(jnp.abs(on.u - off.u))) > 0.0
+    # and the slab csf step tracks the XLA csf step at f32 tolerances
+    want = simulate_3d(g, state, 30, backend="xla", csf=True)
+    np.testing.assert_allclose(F, np.asarray(want.F), atol=5e-6)
+
+
+def test_compiled_streamed_jacobi_bitexact_vs_resident():
+    """The HBM-streamed out-of-place Jacobi (the beyond-envelope solve)
+    vs the VMEM-resident kernel on the same inputs, compiled: the two
+    must agree bitwise at f32 (same constants, same subtraction order)."""
+    import jax
+    from tpuvof.grid import Grid3D
+    from tpuvof.pallas_kernels.jacobi3d import (
+        pallas_jacobi_3d,
+        streamed_jacobi_3d,
+    )
+    from tpuvof.solver3d import _pad_jk
+
+    g = Grid3D(64, 64, 64)
+    p1, p2 = _pad_jk(g)
+    rng = np.random.default_rng(0)
+    shape = (g.nx + 2, g.ny + 2 + p1, g.nz + 2 + p2)
+    p = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    rhs = np.zeros(shape, np.float32)
+    rhs[1:65, 1:65, 1:65] = rng.normal(size=(64, 64, 64))
+    rhs = jnp.asarray(rhs)
+    a = np.asarray(jax.jit(
+        lambda p, r: pallas_jacobi_3d(g, 10, p, r))(p, rhs))
+    b = np.asarray(jax.jit(
+        lambda p, r: streamed_jacobi_3d(g, 10, p, r))(p, rhs))
+    assert np.array_equal(a, b), f"max|diff| {np.abs(a - b).max():.3e}"

@@ -286,13 +286,10 @@ def run_3d(args) -> int:
                         ("mx", "my"))
         else:
             mesh = Mesh(np.array(devs[:px]), ("mx",))
-        if args.csf:
-            print("error: --csf has no distributed implementation yet; "
-                  "run serial (drop --mesh)", file=sys.stderr)
-            return 2
         dec = Decomp3D(g, mesh, dt=args.dt, n_jacobi=args.jacobi,
                        backend=backend,
-                       pressure_solver=args.pressure_solver)
+                       pressure_solver=args.pressure_solver,
+                       csf=args.csf)
     os.makedirs(args.outdir, exist_ok=True)
     print(f">>> 3-D VOF dam break: {n}^3, dt = {args.dt:4.2e}, "
           f"{args.steps} steps, VTK every {args.frame_every}"

@@ -74,7 +74,8 @@ def _pad_planes(nyE: int, nz: int) -> tuple[int, int]:
 
 def pallas_admission_3d(g: Grid3D, px: int, py: int, n_jacobi: int = 10,
                         halo_width: int | None = None,
-                        pencil: bool | None = None) -> dict:
+                        pencil: bool | None = None,
+                        csf: bool = False) -> dict:
     """Pure admission + geometry of the 3-D pallas engines for a px x py
     decomposition — the single source Decomp3D.__init__ and the mesh
     planner (parallel/plan.py) consult. Requires nx % px == ny % py == 0
@@ -93,7 +94,12 @@ def pallas_admission_3d(g: Grid3D, px: int, py: int, n_jacobi: int = 10,
 
     nxl, nyl = g.nx // px, g.ny // py
     use_pencil = (py > 1) if pencil is None else bool(pencil)
-    W = halo_width if halo_width is not None else n_jacobi + 4
+    # csf widens the predictor's F dependency cone from +-1 to +-3 planes
+    # (kappa at i±1 needs normals at i±2 needs F at i±3), so every
+    # downstream erosion shifts by 2: the minimal cone grows from
+    # n_jacobi+4 to n_jacobi+6 (same argument in y for the pencil block)
+    base = n_jacobi + (6 if csf else 4)
+    W = halo_width if halo_width is not None else base
     # nxl + 2W must be a slab-chunk multiple (B in {8,4,2} with >= 3
     # chunks; B=8 preferred — fewer, larger DMAs won the A/B at 200^3,
     # BASELINE.md). 2W only shifts the residue by even amounts, so odd
@@ -115,7 +121,7 @@ def pallas_admission_3d(g: Grid3D, px: int, py: int, n_jacobi: int = 10,
     # invalid at the outermost row, n_jacobi erosions, p at j-1, 3-row
     # FCT y-sweep), no chunk rounding (chunks are x-only; planes are
     # sublane-padded regardless)
-    Wy = n_jacobi + 4 if use_pencil else 0
+    Wy = base if use_pencil else 0
     nyE = nyl + 2 * Wy
     if use_pencil:
         ok = ok and Wy + 1 <= nyl
@@ -181,7 +187,7 @@ class Decomp3D:
                  backend: str = "xla", halo_width: int | None = None,
                  pencil: bool = False, pressure_solver: str = "jacobi",
                  sor_omega: float = 1.7, sor_tol: float = 1e-3,
-                 sor_max_iter: int = 200):
+                 sor_max_iter: int = 200, csf: bool = False):
         axes = tuple(mesh.axis_names)
         if len(axes) not in (1, 2):
             raise ValueError(
@@ -212,6 +218,12 @@ class Decomp3D:
         self.sor_omega = sor_omega
         self.sor_tol = sor_tol
         self.sor_max_iter = sor_max_iter
+        # 3-D surface tension (the upgrade the reference leaves disabled,
+        # 3dvof.py:304-332,607): XLA engine computes local normals +
+        # curvature with 4 extra ghost exchanges per step; pallas engine
+        # fuses them into the slab predict kernel (csf=True widens the
+        # admission cone W/Wy by 2 — see pallas_admission_3d)
+        self.csf = bool(csf)
         if backend == "pallas" and pressure_solver != "jacobi":
             import warnings
 
@@ -237,7 +249,8 @@ class Decomp3D:
         self.nyE = self.nyl
         if backend == "pallas":
             adm = pallas_admission_3d(g, self.px, self.py, n_jacobi,
-                                      halo_width, pencil=self.pencil)
+                                      halo_width, pencil=self.pencil,
+                                      csf=self.csf)
             self.W, self.nloc = adm["W"], adm["nloc"]
             self.Wy, self.nyE = adm["Wy"], adm["nyE"]
             if not adm["ok"]:
@@ -511,7 +524,28 @@ class Decomp3D:
                          dxi=g.dxi, dyi=g.dyi, dzi=g.dzi)
 
         rho, nu = mix_properties(fl, F)
-        kappa = jnp.zeros_like(F)  # surface tension inert (3dvof.py:607)
+        if self.csf:
+            # local Youngs normals (the +-1 F window is covered by the
+            # exchanged ghost planes, so every owned cell computes the
+            # serial expression on serial values), then exchange the
+            # normals so the curvature's +-1 normal window is covered,
+            # then exchange kappa so the predictor's face averages are.
+            # Wall ghosts stay zero through the exchanges — exactly the
+            # serial op's zero-ghost embed (ops/normals3d.py).
+            from ..ops.normals3d import (
+                curvature_from_normals_3d,
+                young_normals_3d,
+            )
+
+            mx, my, mz = young_normals_3d(gl, F)
+            mx = self._exchange(mx)
+            my = self._exchange(my)
+            mz = self._exchange(mz)
+            kappa = self._exchange(
+                curvature_from_normals_3d(gl, mx, my, mz))
+        else:
+            # surface tension inert (3dvof.py:607)
+            kappa = jnp.zeros_like(F)
 
         # predictor over ALL local faces (u_lo=1; v_lo=1 when y is
         # decomposed); the serial wall faces (global face 1 per axis) are
@@ -655,7 +689,8 @@ class Decomp3D:
                                for a in (F, u, v, w, p))
         us, vs, ws, rhs = pallas_predict3d_rhs(
             g, self.fl, self.dt, ux, vx, wx, Fx,
-            interpret=interpret, nloc=nloc, gi_base=gi_base, **kw)
+            interpret=interpret, nloc=nloc, gi_base=gi_base,
+            csf=self.csf, **kw)
         pj = pallas_jacobi_3d(
             g, self.n_jacobi, pxx, rhs,
             interpret=interpret, nloc=nloc, gi_base=gi_base, **kw)
