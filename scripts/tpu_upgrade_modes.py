@@ -102,10 +102,11 @@ cells3d = (
      "jacobi", False, None),
     ("3d_200_csf_pallas", "3d 200^3 csf pallas", "pallas", "jacobi",
      True, None),
-    ("3d_200_rbsor_hybrid", "3d 200^3 rbsor HYBRID pallas", "pallas",
-     "rbsor", False, None),
     ("3d_200_mg_hybrid", "3d 200^3 mg HYBRID pallas", "pallas", "mg",
      False, None),
+    # LAST among the hybrid cells: this one killed the TPU worker once
+    ("3d_200_rbsor_hybrid", "3d 200^3 rbsor HYBRID pallas", "pallas",
+     "rbsor", False, None),
     ("3d_200_csf_xla", "3d 200^3 csf xla (r3 fallback)", "xla", "jacobi",
      True, 20),
 )

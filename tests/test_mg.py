@@ -214,3 +214,46 @@ def test_pallas_backend_routes_mg_to_hybrid():
                        num=tv.Numerics(backend="pallas_mono",
                                        pressure_solver="rbsor"))
     assert effective_backend(big) == "xla"
+
+
+def test_auto_resolves_to_mg_serial_and_rbsor_distributed():
+    """pressure_solver='auto' = the measured-best upgrade per run mode
+    (BASELINE.md "Upgraded pressure solvers on the chip"): mg in serial
+    runs (bitwise-identical trajectory to an explicit 'mg' config),
+    rbsor in distributed ones (mg's coarse levels would be
+    latency-bound on a mesh)."""
+    import jax
+    from jax.sharding import Mesh
+    from tpuvof.parallel import Decomp, Decomp3D
+    from tpuvof.solver import resolve_auto
+
+    num = dict(sor_tol=1e-5, sor_max_iter=500)
+    cfg_auto = tv.SimConfig(grid=tv.Grid2D(32, 32),
+                            num=tv.Numerics(pressure_solver="auto", **num))
+    cfg_mg = tv.SimConfig(grid=tv.Grid2D(32, 32),
+                          num=tv.Numerics(pressure_solver="mg", **num))
+    assert resolve_auto(cfg_auto) == cfg_mg
+    state = tv.init_state(cfg_auto, ic=1)
+    a = tv.simulate(cfg_auto, state, 3)
+    b = tv.simulate(cfg_mg, state, 3)
+    for x, y in zip(a, b):
+        assert float(jnp.max(jnp.abs(x - y))) == 0.0
+
+    # 3-D serial: auto == mg bitwise
+    from tpuvof.grid import Grid3D
+    from tpuvof.solver3d import init_state_3d, simulate_3d
+
+    g3 = Grid3D(16, 16, 16)
+    s3 = init_state_3d(g3, ic=1)
+    a3 = simulate_3d(g3, s3, 2, pressure_solver="auto", **num)
+    b3 = simulate_3d(g3, s3, 2, pressure_solver="mg", **num)
+    for x, y in zip(a3, b3):
+        assert float(jnp.max(jnp.abs(x - y))) == 0.0
+
+    # distributed: auto -> rbsor, accepted by both drivers
+    mesh2 = Mesh(np.array(jax.devices()[:2]).reshape(2, 1), ("mx", "my"))
+    dec = Decomp(cfg_auto, mesh2)
+    assert dec.cfg.num.pressure_solver == "rbsor"
+    mesh1 = Mesh(np.array(jax.devices()[:2]), ("mx",))
+    dec3 = Decomp3D(g3, mesh1, pressure_solver="auto")
+    assert dec3.pressure_solver == "rbsor"

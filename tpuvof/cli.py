@@ -46,12 +46,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "(one HBM-resident launch/step; beyond the VMEM "
                         "envelope pallas_mono auto-upgrades to strips, "
                         "then tiled)")
-    p.add_argument("--pressure-solver", choices=["jacobi", "rbsor", "mg"],
+    p.add_argument("--pressure-solver",
+                   choices=["jacobi", "rbsor", "mg", "auto"],
                    default="jacobi", dest="pressure_solver",
                    help="jacobi = reference-parity fixed sweeps; rbsor = "
                         "residual-driven red-black SOR upgrade; mg = "
                         "residual-driven geometric multigrid (O(1) cycles "
-                        "in grid size; serial runs only)")
+                        "in grid size; serial runs only); auto = the "
+                        "measured-best upgrade per run mode (mg serial, "
+                        "rbsor distributed)")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of the run to this dir")
     # output

@@ -94,9 +94,14 @@ class Numerics:
     # SOR iterated to an on-device residual tolerance (upgrade path; not
     # differentiable); 'mg' = residual-driven geometric-multigrid V-cycles
     # (ops/mg.py — O(1) cycles in grid size where rbsor needs O(n) sweeps;
-    # serial runs only, also not differentiable). sor_tol/sor_max_iter
-    # govern both residual-driven solvers (max_iter counts V-cycles under
-    # 'mg'); sor_omega is rbsor-only (the MG smoother is plain red-black
+    # serial runs only, also not differentiable); 'auto' = the measured-
+    # best residual-driven solver for the run mode — mg in serial runs,
+    # rbsor in distributed ones, where mg's coarse levels would be
+    # latency-bound (resolution sites: solver.resolve_auto, solver3d,
+    # Decomp/Decomp3D; measurements: BASELINE.md "Upgraded pressure
+    # solvers on the chip"). sor_tol/sor_max_iter govern both
+    # residual-driven solvers (max_iter counts V-cycles under 'mg');
+    # sor_omega is rbsor-only (the MG smoother is plain red-black
     # Gauss-Seidel).
     pressure_solver: str = "jacobi"
     sor_omega: float = 1.7

@@ -9,8 +9,11 @@ The third rung of the pressure-solver ladder (``Numerics.pressure_solver``):
   'mg'      — THIS module: V-cycles over a rediscretized grid hierarchy.
               Same contract as 'rbsor' (solve to max|Ap-rhs| <= sor_tol on
               the nullspace-projected system), but the iteration count is
-              O(1) in grid size instead of O(n): at 1024^2 a tight solve is
-              ~10 V-cycles where RB-SOR needs thousands of sweeps.
+              O(1) in grid size instead of O(n). Measured on the v5e
+              (BASELINE.md "Upgraded pressure solvers on the chip"): mg
+              reaches rel-1e-3 at 4.8 ms/solve at 1024^2 where rbsor at
+              the default omega takes 585 ms and still stalls at
+              2.3e-2*r0; 'auto' resolves to mg for serial runs.
 
 Dimension-generic (one implementation serves the 2-D and 3-D drivers):
 every level operates on *interior-shaped* arrays, and the per-level
@@ -63,25 +66,30 @@ def _coeffs(shape, inv2, dtype):
 
     Returns ([(a_plus, a_minus) per axis], ap, ap_inv) where a_plus[idx]
     multiplies the +1 neighbor along that axis (zero on the last slice =
-    the wall, reference 2dvof.py:258-262) — all as numpy constants baked
-    into the trace.
+    the wall, reference 2dvof.py:258-262) — built ON-DEVICE from iota
+    masks (the former numpy constant volumes were baked into the trace:
+    ~8 x 67 MB of program literals at a 256^3 fine level, past the remote
+    compile service's request limit; cf. solver3d._poisson_coeffs_3d).
+    ap/ap_inv accumulate in the working dtype on device — mg has no
+    bit-parity oracle (no reference counterpart), and the f64 CPU tests
+    see identical arithmetic.
     """
+    import jax.lax as lax
+
     nd = len(shape)
-    total = np.zeros(shape, np.float64)
+    total = None
     axes = []
+    zero = jnp.zeros((), dtype)
     for ax, c in enumerate(inv2):
-        apl = np.full(shape, c, np.float64)
-        ami = np.full(shape, c, np.float64)
-        last = [slice(None)] * nd
-        first = [slice(None)] * nd
-        last[ax] = -1
-        first[ax] = 0
-        apl[tuple(last)] = 0.0
-        ami[tuple(first)] = 0.0
-        total += apl + ami
-        axes.append((apl.astype(dtype), ami.astype(dtype)))
-    ap = (-total).astype(dtype)
-    ap_inv = (-1.0 / total).astype(dtype)
+        idx = lax.broadcasted_iota(jnp.int32, shape, ax)
+        cval = jnp.asarray(np.float64(c).astype(dtype))
+        apl = jnp.where(idx == shape[ax] - 1, zero, cval)
+        ami = jnp.where(idx == 0, zero, cval)
+        pair = apl + ami
+        total = pair if total is None else total + pair
+        axes.append((apl, ami))
+    ap = -total
+    ap_inv = -1.0 / total
     return axes, ap, ap_inv
 
 
@@ -95,10 +103,14 @@ def _neigh(axes, p, rhs):
 
 
 def _red_mask(shape):
-    s = np.zeros(shape, np.int64)
-    for ax, n in enumerate(shape):
-        idx = np.arange(n).reshape((1,) * ax + (n,) + (1,) * (len(shape) - ax - 1))
-        s = s + idx
+    """(i+j[+k]) % 2 == 0, built on-device (a baked numpy bool volume is
+    an O(volume) program literal, cf. _coeffs)."""
+    import jax.lax as lax
+
+    s = None
+    for ax in range(len(shape)):
+        idx = lax.broadcasted_iota(jnp.int32, shape, ax)
+        s = idx if s is None else s + idx
     return (s % 2) == 0
 
 
@@ -204,7 +216,10 @@ def mg_solve(p, rhs, inv2, tol, max_cycles, nu: int = 2,
 
     def cond(carry):
         p_l, it, r, best, stall = carry
-        return (it < max_cycles) & (r > tol) & (stall < STALL_CYCLES)
+        # plateau guard as in ops.poisson (V-cycle residuals are monotone
+        # in practice, but keep the exits semantically identical)
+        floored = (stall >= STALL_CYCLES) & (r <= 2.0 * best)
+        return (it < max_cycles) & (r > tol) & ~floored
 
     def body(carry):
         p_l, it, r, best, stall = carry

@@ -37,19 +37,42 @@ __all__ = ["poisson_coefficients", "divergence_rhs", "solve_pressure"]
 
 def poisson_coefficients(g: Grid2D, dtype=np.float32):
     """Static 5-point coefficients with Neumann-edge zeroing
-    (reference 2dvof.py:258-262). Interior-shaped (nx, ny)."""
-    dxi2 = g.dxi**2
-    dyi2 = g.dyi**2
-    ae = np.full((g.nx, g.ny), dxi2, dtype=np.float64)
-    aw = np.full((g.nx, g.ny), dxi2, dtype=np.float64)
-    an = np.full((g.nx, g.ny), dyi2, dtype=np.float64)
-    a_s = np.full((g.nx, g.ny), dyi2, dtype=np.float64)
-    ae[-1, :] = 0.0  # i == imax
-    aw[0, :] = 0.0  # i == imin
-    an[:, -1] = 0.0  # j == jmax
-    a_s[:, 0] = 0.0  # j == jmin
-    ap_inv = -1.0 / (ae + aw + an + a_s)
-    return tuple(a.astype(dtype) for a in (ae, aw, an, a_s, ap_inv))
+    (reference 2dvof.py:258-262). Interior-shaped (nx, ny).
+
+    Built ON-DEVICE from iota masks selecting the 9 f64-precomputed
+    edge-class values — bitwise-identical to the former numpy constant
+    volumes (same accumulation order before the dtype cast), but the
+    jitted program no longer inlines O(volume) constants: at 4096^2 the
+    old form shipped 5 x 67 MB of literals to the remote compile service
+    (its 3-D twin overran the service's request limit at 256^3)."""
+    dxi2 = np.float64(g.dxi) ** 2
+    dyi2 = np.float64(g.dyi) ** 2
+    shape = (g.nx, g.ny)
+    i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    cx = jnp.asarray(dxi2.astype(dtype))
+    cy = jnp.asarray(dyi2.astype(dtype))
+    zero = jnp.zeros((), dtype)
+    ae = jnp.where(i == g.nx - 1, zero, cx)
+    aw = jnp.where(i == 0, zero, cx)
+    an = jnp.where(j == g.ny - 1, zero, cy)
+    a_s = jnp.where(j == 0, zero, cy)
+
+    def const(ex, ey):
+        # ((ae + aw) + an) + a_s in f64, cast after — the numpy form's order
+        t = dxi2 if ex else dxi2 + dxi2
+        for _ in range(2 - ey):
+            t = t + dyi2
+        return jnp.asarray((-1.0 / t).astype(dtype))
+
+    ex = (i == 0) | (i == g.nx - 1)
+    ey = (j == 0) | (j == g.ny - 1)
+    ap_inv = jnp.where(
+        ex,
+        jnp.where(ey, const(1, 1), const(1, 0)),
+        jnp.where(ey, const(0, 1), const(0, 0)),
+    )
+    return ae, aw, an, a_s, ap_inv
 
 
 def divergence_rhs(g: Grid2D, nm: Numerics, u_star, v_star, rho):
@@ -169,12 +192,18 @@ def residual(g: Grid2D, p, rhs, project_nullspace: bool = True):
 
 
 #: Residual-driven solvers stop early when `STALL_ITERS` consecutive
-#: iterations produce no new best residual: at f32 the achievable floor can
-#: sit ABOVE sor_tol (measured on the v5e: mg at 512^2 stalls near rel 6e-4
-#: of a developed-flow r0), and without the stall exit the while_loop burns
-#: the full iteration cap at the floor. During genuine convergence the
-#: residual strictly decreases, so the exit cannot fire early.
+#: iterations produce no new best residual AND the residual sits at that
+#: best (within PLATEAU_FACTOR): at f32 the achievable floor can sit ABOVE
+#: sor_tol (measured on the v5e: mg at 512^2 stalls near rel 6e-4 of a
+#: developed-flow r0), and without the stall exit the while_loop burns the
+#: full iteration cap at the floor. The plateau guard matters for SOR at
+#: omega near 2, whose residuals OSCILLATE for hundreds of iterations
+#: before converging (measured on the v5e: omega=1.9878 at 512^2 exited
+#: the unguarded stall at r = 2.8x r0 after 13 ms; guarded, it converges) —
+#: non-monotone phases keep r far above best, so the exit only fires at a
+#: genuine floor.
 STALL_ITERS = 25
+PLATEAU_FACTOR = 2.0
 
 
 def _rbsor(g: Grid2D, nm: Numerics, p, rhs):
@@ -198,9 +227,11 @@ def _rbsor(g: Grid2D, nm: Numerics, p, rhs):
     ae, aw, an, a_s, ap_inv = poisson_coefficients(g, p.dtype)
     ri = (1, g.nx + 1)
     rj = (1, g.ny + 1)
-    col = np.arange(g.nx)[:, None]
-    row = np.arange(g.ny)[None, :]
-    red = ((col + row) % 2 == 0)
+    # on-device checkerboard (a baked numpy bool is an O(n^2) program
+    # literal; cf. poisson_coefficients)
+    red = ((jax.lax.broadcasted_iota(jnp.int32, (g.nx, g.ny), 0)
+            + jax.lax.broadcasted_iota(jnp.int32, (g.nx, g.ny), 1))
+           % 2 == 0)
     omega = nm.sor_omega
 
     def half_sweep(p, mask):
@@ -217,8 +248,8 @@ def _rbsor(g: Grid2D, nm: Numerics, p, rhs):
 
     def cond(carry):
         p, it, r, best, stall = carry
-        return ((it < nm.sor_max_iter) & (r > nm.sor_tol)
-                & (stall < STALL_ITERS))
+        floored = (stall >= STALL_ITERS) & (r <= PLATEAU_FACTOR * best)
+        return (it < nm.sor_max_iter) & (r > nm.sor_tol) & ~floored
 
     def body(carry):
         p, it, r, best, stall = carry

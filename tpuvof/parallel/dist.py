@@ -71,6 +71,14 @@ class Decomp:
 
     def __init__(self, cfg: SimConfig, mesh: Mesh, tile: int | None = None,
                  engine: str | None = None, tx: int | None = None):
+        if cfg.num.pressure_solver == "auto":
+            # distributed 'auto' -> rbsor (serial resolves to mg —
+            # solver.resolve_auto; mg's coarse levels would be
+            # ICI-latency-bound on a mesh)
+            from dataclasses import replace
+
+            cfg = cfg.replace(
+                num=replace(cfg.num, pressure_solver="rbsor"))
         self.cfg = cfg
         self.mesh = mesh
         # explicit per-shard tile for the TILED windowed engine (tests and
@@ -275,12 +283,13 @@ class Decomp:
         # stall carry mirrors ops.poisson._rbsor exactly (the residuals
         # are psum/pmax-identical on every shard, so trip counts — incl.
         # the f32 floor exit — match serial)
-        from ..ops.poisson import STALL_ITERS
+        from ..ops.poisson import PLATEAU_FACTOR, STALL_ITERS
 
         def cond(carry):
             p, it, r, best, stall = carry
-            return ((it < nm.sor_max_iter) & (r > nm.sor_tol)
-                    & (stall < STALL_ITERS))
+            floored = ((stall >= STALL_ITERS)
+                       & (r <= PLATEAU_FACTOR * best))
+            return (it < nm.sor_max_iter) & (r > nm.sor_tol) & ~floored
 
         def body(carry):
             p, it, r, best, stall = carry

@@ -208,6 +208,11 @@ class Decomp3D:
         self.fl = fl or Fluid()
         self.dt = dt
         self.n_jacobi = n_jacobi
+        if pressure_solver == "auto":
+            # distributed 'auto' -> rbsor (serial resolves to mg —
+            # solver.resolve_auto; mg's coarse levels would be
+            # ICI-latency-bound on a mesh)
+            pressure_solver = "rbsor"
         if pressure_solver not in ("jacobi", "rbsor"):
             raise ValueError(
                 f"pressure_solver={pressure_solver!r} has no distributed "
@@ -491,12 +496,13 @@ class Decomp3D:
         # stall carry mirrors solver3d._rbsor_3d exactly (the residuals
         # are psum/pmax-identical on every shard, so trip counts — incl.
         # the f32 floor exit — match serial)
-        from ..ops.poisson import STALL_ITERS
+        from ..ops.poisson import PLATEAU_FACTOR, STALL_ITERS
 
         def cond(carry):
             p, it, r, best, stall = carry
-            return ((it < self.sor_max_iter) & (r > self.sor_tol)
-                    & (stall < STALL_ITERS))
+            floored = ((stall >= STALL_ITERS)
+                       & (r <= PLATEAU_FACTOR * best))
+            return (it < self.sor_max_iter) & (r > self.sor_tol) & ~floored
 
         def body(carry):
             p, it, r, best, stall = carry

@@ -36,7 +36,23 @@ from .ops import (
     young_normals_curvature,
 )
 
-__all__ = ["step", "step_pair", "simulate", "make_step_fn", "effective_backend"]
+__all__ = ["step", "step_pair", "simulate", "make_step_fn",
+           "effective_backend", "resolve_auto"]
+
+
+def resolve_auto(cfg: SimConfig) -> SimConfig:
+    """pressure_solver='auto' -> the measured-best serial upgrade solver:
+    'mg' (BASELINE.md "Upgraded pressure solvers on the chip": mg reaches
+    rel-1e-3 residual at every grid in O(10) V-cycles where rbsor at the
+    default omega burns its iteration cap). The distributed drivers
+    resolve 'auto' -> 'rbsor' instead (Decomp/Decomp3D: mg's coarse
+    levels would be ICI-latency-bound). Serial entry points call this;
+    idempotent for every other value."""
+    if cfg.num.pressure_solver != "auto":
+        return cfg
+    from dataclasses import replace
+
+    return cfg.replace(num=replace(cfg.num, pressure_solver="mg"))
 
 
 def step(cfg: SimConfig, state: State, even_step: bool, lean: bool = False) -> State:
@@ -63,6 +79,7 @@ def step(cfg: SimConfig, state: State, even_step: bool, lean: bool = False) -> S
     reference pipeline), while 'pallas_mono' applies BC at entry and runs
     the lean step (the canonical simulate() semantics) — deterministic,
     but a different off-spec trajectory."""
+    cfg = resolve_auto(cfg)
     eff = effective_backend(cfg)
     if cfg.num.backend in ("pallas", "pallas_mono", "pallas_tiled",
                            "pallas_strips") and eff == "xla":
@@ -407,7 +424,7 @@ def simulate(cfg: SimConfig, state: State, n_steps: int,
     length is odd. Only istep0's parity matters, so it is reduced mod 2
     before the jitted core — chunked drivers compile at most two programs
     per shape, not one per offset."""
-    return _simulate_impl(cfg, state, n_steps, istep0 % 2)
+    return _simulate_impl(resolve_auto(cfg), state, n_steps, istep0 % 2)
 
 
 @partial(jax.jit, static_argnums=(0, 2, 3))

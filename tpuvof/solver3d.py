@@ -25,23 +25,52 @@ __all__ = ["step_3d", "simulate_3d", "init_state_3d"]
 
 
 def _poisson_coeffs_3d(g: Grid3D, dtype):
-    """7-point coefficients with Neumann-edge zeroing (3dvof.py:269-275)."""
-    dxi2, dyi2, dzi2 = g.dxi**2, g.dyi**2, g.dzi**2
+    """7-point coefficients with Neumann-edge zeroing (3dvof.py:269-275).
+
+    Built ON-DEVICE from iota masks selecting the f64-precomputed
+    edge-class values — bitwise-identical to the former numpy constant
+    volumes (same ((((ae+aw)+an)+a_s)+ab)+af accumulation before the
+    dtype cast, the order pallas_kernels/jacobi3d.py replicates), but the
+    jitted program no longer inlines 7 whole-volume literals: at 256^3
+    they were 7 x 67 MB and overran the remote compile service's request
+    size limit (HTTP 413)."""
+    dxi2 = np.float64(g.dxi) ** 2
+    dyi2 = np.float64(g.dyi) ** 2
+    dzi2 = np.float64(g.dzi) ** 2
     shape = (g.nx, g.ny, g.nz)
-    ae = np.full(shape, dxi2)
-    aw = np.full(shape, dxi2)
-    an = np.full(shape, dyi2)
-    a_s = np.full(shape, dyi2)
-    af = np.full(shape, dzi2)
-    ab = np.full(shape, dzi2)
-    ae[-1, :, :] = 0.0
-    aw[0, :, :] = 0.0
-    an[:, -1, :] = 0.0
-    a_s[:, 0, :] = 0.0
-    af[:, :, -1] = 0.0
-    ab[:, :, 0] = 0.0
-    ap_inv = -1.0 / (ae + aw + an + a_s + ab + af)
-    return tuple(x.astype(dtype) for x in (ae, aw, an, a_s, af, ab, ap_inv))
+    i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    k = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    cx = jnp.asarray(dxi2.astype(dtype))
+    cy = jnp.asarray(dyi2.astype(dtype))
+    cz = jnp.asarray(dzi2.astype(dtype))
+    zero = jnp.zeros((), dtype)
+    ae = jnp.where(i == g.nx - 1, zero, cx)
+    aw = jnp.where(i == 0, zero, cx)
+    an = jnp.where(j == g.ny - 1, zero, cy)
+    a_s = jnp.where(j == 0, zero, cy)
+    af = jnp.where(k == g.nz - 1, zero, cz)
+    ab = jnp.where(k == 0, zero, cz)
+
+    def const(ex, ey, ez):
+        t = dxi2 if ex else dxi2 + dxi2
+        for _ in range(2 - ey):
+            t = t + dyi2
+        for _ in range(2 - ez):
+            t = t + dzi2
+        return jnp.asarray((-1.0 / t).astype(dtype))
+
+    ex = (i == 0) | (i == g.nx - 1)
+    ey = (j == 0) | (j == g.ny - 1)
+    ez = (k == 0) | (k == g.nz - 1)
+    ap_inv = jnp.where(
+        ex,
+        jnp.where(ey, jnp.where(ez, const(1, 1, 1), const(1, 1, 0)),
+                  jnp.where(ez, const(1, 0, 1), const(1, 0, 0))),
+        jnp.where(ey, jnp.where(ez, const(0, 1, 1), const(0, 1, 0)),
+                  jnp.where(ez, const(0, 0, 1), const(0, 0, 0))),
+    )
+    return ae, aw, an, a_s, af, ab, ap_inv
 
 
 def _rhs_3d(g: Grid3D, dt, u_star, v_star, w_star, rho):
@@ -86,18 +115,21 @@ def _rbsor_3d(g: Grid3D, p, rhs, omega: float, tol: float, max_iter: int):
     (i+j+k) % 2, the rhs nullspace projected out (pure-Neumann system;
     pressure is defined up to a constant), `lax.while_loop` exits when
     max|Ap - rhs| <= tol — or at the dtype's residual floor
-    (ops.poisson.STALL_ITERS with no new best; the f32 TPU case). Not
-    differentiable (while_loop); the diff path keeps the
+    (ops.poisson.STALL_ITERS with no new best AND plateaued; the f32 TPU
+    case). Not differentiable (while_loop); the diff path keeps the
     fixed-iteration solvers."""
-    from .ops.poisson import STALL_ITERS
+    from .ops.poisson import PLATEAU_FACTOR, STALL_ITERS
     rhs = rhs - jnp.mean(rhs)
     coeffs = _poisson_coeffs_3d(g, p.dtype)
     ap_inv = coeffs[-1]
     ap = 1.0 / ap_inv
     I = (slice(1, -1),) * 3
-    red = ((np.arange(g.nx)[:, None, None]
-            + np.arange(g.ny)[None, :, None]
-            + np.arange(g.nz)[None, None, :]) % 2 == 0)
+    # on-device checkerboard (a baked numpy bool is an O(n^3) program
+    # literal; cf. _poisson_coeffs_3d)
+    shp = (g.nx, g.ny, g.nz)
+    red = ((jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+            + jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+            + jax.lax.broadcasted_iota(jnp.int32, shp, 2)) % 2 == 0)
 
     def half_sweep(p, mask):
         gs = _neigh_3d(g, coeffs, p, rhs) * ap_inv
@@ -112,7 +144,8 @@ def _rbsor_3d(g: Grid3D, p, rhs, omega: float, tol: float, max_iter: int):
 
     def cond(carry):
         p, it, r, best, stall = carry
-        return (it < max_iter) & (r > tol) & (stall < STALL_ITERS)
+        floored = (stall >= STALL_ITERS) & (r <= PLATEAU_FACTOR * best)
+        return (it < max_iter) & (r > tol) & ~floored
 
     def body(carry):
         p, it, r, best, stall = carry
@@ -346,6 +379,8 @@ def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
     reference, whose 3-D normals kernel is commented out so kappa stays
     zero (3dvof.py:304-332,607); the default False keeps reference
     parity bit-for-bit."""
+    if pressure_solver == "auto":
+        pressure_solver = "mg"  # serial: see solver.resolve_auto
     if backend == "pallas":
         if pallas3d_supported(g, csf):
             return _step_3d_pallas(g, fl, dt, n_jacobi, state, phase,
@@ -413,6 +448,8 @@ def simulate_3d(g: Grid3D, state: State3D, n_steps: int,
     before the jitted core, so chunked drivers compile at most three
     programs per shape."""
     g.validate()  # cubic cells only (the 3-D FCT scale factors assume it)
+    if pressure_solver == "auto":
+        pressure_solver = "mg"  # serial: see solver.resolve_auto
     return _simulate_3d_impl(g, state, n_steps, dt, n_jacobi, fl,
                              backend, istep0 % 3, pressure_solver,
                              sor_omega, sor_tol, sor_max_iter, csf)
