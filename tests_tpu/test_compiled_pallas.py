@@ -296,11 +296,21 @@ def test_compiled_rbsor_2d_hybrid_matches_xla():
     # hybrid program runs on the chip and (b) the physics stays in
     # lockstep with XLA — bounds an order above the measured divergence,
     # three below the fields' dynamic range.
-    tol = {"F": 2e-5, "u": 1e-4, "v": 1e-4, "p": 1e-2}
+    tol = {"F": 2e-5, "u": 1e-4, "v": 1e-4}
     for name in ("F", "u", "v", "p"):
-        np.testing.assert_allclose(
-            np.asarray(getattr(b, name)), np.asarray(getattr(a, name)),
-            atol=tol[name], err_msg=name)
+        x = np.asarray(getattr(b, name))
+        y = np.asarray(getattr(a, name))
+        if name == "p":
+            # pure-Neumann nullspace: each backend's iterate history
+            # settles on a different additive constant — compare
+            # mean-free interiors, at a bound RELATIVE to p's scale
+            # (the solve's rhs is rho/dt * div, so p is O(1e3) here)
+            x = x[1:-1, 1:-1] - x[1:-1, 1:-1].mean()
+            y = y[1:-1, 1:-1] - y[1:-1, 1:-1].mean()
+            atol = 1e-2 * max(1.0, float(np.abs(y).max()))
+        else:
+            atol = tol[name]
+        np.testing.assert_allclose(x, y, atol=atol, err_msg=name)
     assert np.isfinite(np.asarray(b.F)).all()
 
 

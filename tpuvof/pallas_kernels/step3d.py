@@ -84,23 +84,45 @@ __all__ = [
 ]
 
 
-def _pick_chunk(nx: int) -> int | None:
+#: B=8 is proven to 208x384 padded planes (200^3, the A/B winner —
+#: BASELINE.md); at 264x384 (256^3) its predict kernel needed 165 MB of
+#: VMEM (97 MB working set + 103 MB register-allocator SPILLS the block
+#: estimate cannot model — they are a compiler artifact, not a buffer
+#: count) and failed the remote compile. Above this plane size B caps at
+#: 4, which compiles and runs all three kernel families at 256^3
+#: (scripts/tpu_256_chunk_probe.py).
+_B8_PLANE_LIMIT = 340_000
+
+
+def _pick_chunk(nx: int, plane_bytes: int | None = None) -> int | None:
     """Largest slab thickness B in (8, 4, 2) with nx % B == 0 and at least
-    3 chunks (the FCT x-sweep special-cases the first/last chunk)."""
+    3 chunks (the FCT x-sweep special-cases the first/last chunk); big
+    padded planes skip B=8 (_B8_PLANE_LIMIT)."""
     for b in (8, 4, 2):
+        if b == 8 and plane_bytes is not None \
+                and plane_bytes > _B8_PLANE_LIMIT:
+            continue
         if nx % b == 0 and nx // b >= 3:
             return b
     return None
 
 
+def _plane_bytes(shape) -> int:
+    """Padded plane footprint of a (n0, n1p, n2p) volume, f32."""
+    return int(shape[1]) * int(shape[2]) * 4
+
+
 def step3d_slab_supported(g: Grid3D, csf: bool = False) -> bool:
     """Whether the slab kernels can run this grid: a valid chunk size and a
     per-chunk working set that fits VMEM (it always does for plane sizes up
-    to ~1024^2, far beyond the reference's workloads)."""
-    b = _pick_chunk(g.nx)
+    to ~1024^2, far beyond the reference's workloads). Uses the PADDED
+    plane (lane/sublane, solver3d._pad_jk) — what the kernels actually
+    stream — so the B choice here matches the runtime pick."""
+    plane = (g.ny + 2 + (-(g.ny + 2)) % 8) \
+        * (g.nz + 2 + (-(g.nz + 2)) % 128) * 4
+    b = _pick_chunk(g.nx, plane)
     if b is None:
         return False
-    plane = (g.ny + 2) * (g.nz + 2) * 4
     # predict3d holds ~20 chunk-sized blocks live (4 ext inputs + 4 outputs
     # + temporaries); csf adds the wider halo and the normals temporaries
     blocks, hw2 = (28, 6) if csf else (20, 4)
@@ -488,7 +510,7 @@ def pallas_predict3d_rhs(g: Grid3D, fl: Fluid, dt, u, v, w, F,
     _predict_kernel / _predict_block)."""
     if nloc is None:
         nloc = g.nx
-    B = _pick_chunk(nloc)
+    B = _pick_chunk(nloc, _plane_bytes(F.shape))
     shape = jax.ShapeDtypeStruct(F.shape, F.dtype)
     E = B + (6 if csf else 4)
     plane = F.shape[1:]
@@ -643,7 +665,7 @@ def pallas_correct3d(g: Grid3D, fl: Fluid, dt, u_star, v_star, w_star, p, F,
     the simulate-exit BC. njl/gj_base: pencil engine (see _predict_kernel)."""
     if nloc is None:
         nloc = g.nx
-    B = _pick_chunk(nloc)
+    B = _pick_chunk(nloc, _plane_bytes(F.shape))
     shape = jax.ShapeDtypeStruct(F.shape, F.dtype)
     plane = F.shape[1:]
     blk = lambda n: pltpu.VMEM((n, *plane), F.dtype)  # noqa: E731
@@ -877,7 +899,7 @@ def pallas_fct3d_sweep(g: Grid3D, dt, F, vel, axis: int,
     pencil engine."""
     if nloc is None:
         nloc = g.nx
-    B = _pick_chunk(nloc)
+    B = _pick_chunk(nloc, _plane_bytes(F.shape))
     shape = jax.ShapeDtypeStruct(F.shape, F.dtype)
     plane = F.shape[1:]
     blk = lambda n: pltpu.VMEM((n, *plane), F.dtype)  # noqa: E731
