@@ -274,44 +274,70 @@ def test_compiled_mono_kernel_at_vmem_envelope_edge():
     assert F.min() >= 0.0 and F.max() <= 1.0
 
 
-def test_compiled_rbsor_2d_hybrid_matches_xla():
+def test_compiled_rbsor_2d_hybrid_upgrades_residual():
     """The round-4 numerics-upgrade surface on the real chip (VERDICT r3
     #5): rbsor's on-device while_loop residual stop compiled on TPU,
-    hosted in the HYBRID 3-phase pallas step, vs the all-XLA rbsor path."""
-    num = dict(pressure_solver="rbsor", sor_tol=1e-4, sor_max_iter=5000)
-    cfg_x = tv.SimConfig(grid=tv.Grid2D(64, 64),
-                         num=tv.Numerics(backend="xla", **num))
-    cfg_p = cfg_x.replace(num=tv.Numerics(backend="pallas", **num))
+    hosted in the HYBRID 3-phase pallas step. NOT a hybrid-vs-XLA
+    trajectory pin: in f32 the residual-driven solve's TRIP COUNT is
+    chaotically sensitive to 1-ulp predictor differences, so the two
+    backends' trajectories legitimately diverge within a few steps
+    (parity is pinned at f64 1e-12 on CPU, tests/test_mg.py). What must
+    hold on-chip: the hybrid program compiles and runs, the physics
+    stays finite/bounded/mass-conserving, and the solve actually
+    delivers the upgrade — a far lower post-step divergence residual
+    than the reference's fixed 10 Jacobi sweeps."""
+    import jax
+
+    num = dict(pressure_solver="rbsor", sor_tol=1e-4, sor_max_iter=500)
+    cfg_p = tv.SimConfig(grid=tv.Grid2D(64, 64),
+                         num=tv.Numerics(backend="pallas", **num))
+    cfg_j = tv.SimConfig(grid=tv.Grid2D(64, 64),
+                         num=tv.Numerics(backend="pallas"))
     from tpuvof.solver import effective_backend
 
     assert effective_backend(cfg_p) == "pallas"
-    state = tv.init_state(cfg_x, ic=1)
-    a = tv.simulate(cfg_x, state, 20)
-    b = tv.simulate(cfg_p, state, 20)
-    # NOT a parity pin (that is tests/test_mg.py at f64 1e-12): on TPU
-    # f32 the residual-driven while_loop amplifies ulp differences
-    # between the Pallas and XLA predictors into different TRIP COUNTS,
-    # so the two trajectories diverge at the 1e-5 scale within 20 steps
-    # (measured: F 1.9e-6, u 1.1e-5). This compiled test pins (a) the
-    # hybrid program runs on the chip and (b) the physics stays in
-    # lockstep with XLA — bounds an order above the measured divergence,
-    # three below the fields' dynamic range.
-    tol = {"F": 2e-5, "u": 1e-4, "v": 1e-4}
-    for name in ("F", "u", "v", "p"):
-        x = np.asarray(getattr(b, name))
-        y = np.asarray(getattr(a, name))
-        if name == "p":
-            # pure-Neumann nullspace: each backend's iterate history
-            # settles on a different additive constant — compare
-            # mean-free interiors, at a bound RELATIVE to p's scale
-            # (the solve's rhs is rho/dt * div, so p is O(1e3) here)
-            x = x[1:-1, 1:-1] - x[1:-1, 1:-1].mean()
-            y = y[1:-1, 1:-1] - y[1:-1, 1:-1].mean()
-            atol = 1e-2 * max(1.0, float(np.abs(y).max()))
-        else:
-            atol = tol[name]
-        np.testing.assert_allclose(x, y, atol=atol, err_msg=name)
-    assert np.isfinite(np.asarray(b.F)).all()
+    state = tv.init_state(cfg_p, ic=1)
+    b = tv.simulate(cfg_p, state, 10)
+
+    F = np.asarray(b.F)
+    assert np.isfinite(F).all() and F.min() >= 0.0 and F.max() <= 1.0
+    m0 = float(np.asarray(state.F)[1:-1, 1:-1].sum())
+    assert abs(F[1:-1, 1:-1].sum() - m0) / m0 < 1e-3
+
+    # the upgrade claim, pinned on the SOLVE's own residual (max|div(u)|
+    # of the stepped state cannot move with solver tolerance: it is
+    # dominated by the replicated reference quirk of a constant-
+    # coefficient solve vs a rho-faced correction at the interface):
+    # one compiled projection of a developed-flow rhs must reach its
+    # requested tolerance where 10 Jacobi sweeps leave O(r0)
+    from tpuvof.ops import apply_bc, mix_properties
+    from tpuvof.ops.poisson import (
+        _jacobi_sweeps,
+        _rbsor,
+        divergence_rhs,
+        residual,
+    )
+
+    g = cfg_p.grid
+    s = tv.simulate(cfg_j, state, 100)
+    u, v, Fb, p = apply_bc(s.u, s.v, s.F, s.p)
+    rho, _ = mix_properties(cfg_p.fluid, Fb)
+    rhs = divergence_rhs(g, cfg_p.num, u, v, rho)
+    r0 = float(residual(g, jnp.zeros_like(p), rhs))
+    tol = 1e-3 * r0
+    nm = tv.Numerics(pressure_solver="rbsor", sor_tol=tol,
+                     sor_max_iter=200_000)
+    p_sor = jax.jit(lambda p0, r: _rbsor(g, nm, p0, r))(
+        jnp.zeros_like(p), rhs)
+    p_jac = jax.jit(lambda p0, r: _jacobi_sweeps(g, 10, p0, r))(
+        jnp.zeros_like(p), rhs)
+    r_sor = float(residual(g, p_sor, rhs))
+    r_jac = float(residual(g, p_jac, rhs))
+    assert np.isfinite(np.asarray(p_sor)).all()
+    # reached tol, or stalled at the f32 floor well below jacobi's leavings
+    assert r_sor <= max(1.05 * tol, 0.05 * r_jac), (
+        f"rbsor residual {r_sor:.3e} vs tol {tol:.3e}, "
+        f"jacobi10 leaves {r_jac:.3e}")
 
 
 def test_compiled_mg_solve_converges():
