@@ -276,3 +276,36 @@ def test_sweep_masked_2axis_keeps_pad_rows_zero():
                                  nj_valid=njl + 1)
         pad = np.asarray(out[:, njl + 2:, :])
         assert np.all(pad == 0.0), f"axis {axis}: pad max {pad.max()}"
+
+
+def test_3d_bubble_and_drop_ics():
+    """The ic=2/3 UPGRADE geometries (the 2-D bubble/drop revolved to
+    spheres; the 3-D reference implements only ic=1): bounded fractions,
+    plausible volumes, and a short csf run stays finite/bounded with the
+    drop's liquid centroid falling under gravity."""
+    g = Grid3D(24, 24, 24)
+    r = g.Lx / 12
+
+    F2 = np.asarray(init_state_3d(g, ic=2).F)
+    assert F2.min() >= 0.0 and F2.max() <= 1.0
+    gas = float((1.0 - F2[1:-1, 1:-1, 1:-1]).sum()) * g.dx * g.dy * g.dz
+    vol = 4.0 / 3.0 * np.pi * r**3
+    assert 0.6 * vol < gas < 1.4 * vol  # corner-count + smoothing slack
+
+    s3 = init_state_3d(g, ic=3)
+    F3 = np.asarray(s3.F)
+    assert F3.min() >= 0.0 and F3.max() <= 1.0
+    # pool plus one drop's worth of liquid
+    pool = 0.37  # fraction of Ly
+    liq = float(F3[1:-1, 1:-1, 1:-1].mean())
+    assert pool < liq < pool + 0.05
+
+    def centroid_y(F):
+        Fi = F[1:-1, 1:-1, 1:-1]
+        yc = np.arange(Fi.shape[1]) + 0.5
+        return float((Fi.sum(axis=(0, 2)) * yc).sum() / Fi.sum())
+
+    out = simulate_3d(g, s3, 60, csf=True)
+    Fo = np.asarray(out.F)
+    assert np.isfinite(Fo).all() and Fo.min() >= 0.0 and Fo.max() <= 1.0
+    assert centroid_y(Fo) < centroid_y(F3)  # the drop falls
