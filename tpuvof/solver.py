@@ -36,8 +36,8 @@ from .ops import (
     young_normals_curvature,
 )
 
-__all__ = ["step", "step_pair", "simulate", "make_step_fn",
-           "effective_backend", "resolve_auto"]
+__all__ = ["step", "step_pair", "simulate", "simulate_cfl",
+           "make_step_fn", "effective_backend", "resolve_auto"]
 
 
 def resolve_auto(cfg: SimConfig) -> SimConfig:
@@ -446,6 +446,86 @@ def _simulate_impl(cfg: SimConfig, state: State, n_steps: int,
     if rem:
         state = step(cfg, state, even_step=even1, lean=True)
     return state
+
+
+def simulate_cfl(cfg: SimConfig, state: State, n_steps: int,
+                 istep0: int = 0):
+    """`simulate` that also tracks WHERE and WHEN the Courant number
+    peaked: returns (state, report) with report = dict(cfl, step, axis,
+    i, j) — the max over all steps of the reference's per-cell warning
+    quantity (u*dt/dx resp. v*dt/dy, SIGNED, matching 2dvof.py:274-280's
+    `u[i,j]*dt > 0.25*dx` test), the global step it occurred on, and the
+    face indices. The reference prints that warning from INSIDE the
+    momentum kernel mid-run; a host print per step would serialize the
+    TPU scan, so the TPU-native form carries the running argmax through
+    the scan (two reductions per step, ~µs against the step) and the CLI
+    prints the warning — naming the exact step and cell — at the next
+    host sync (the frame boundary). The tracking only READS each step's
+    output, but the extra consumers change XLA's fusion decisions, so the
+    trajectory agrees with `simulate` to f32 reassociation noise (measured
+    F 3e-13, u/v 5e-10, p 1-ulp-of-scale over 7 steps), not bitwise;
+    chunked calls track consistently (tests/test_l4.py)."""
+    cfg = resolve_auto(cfg)
+    state, cfl, stp, ax, i, j = _simulate_cfl_impl(
+        cfg, state, n_steps, istep0 % 2)
+    return state, {
+        "cfl": float(cfl),
+        "step": istep0 + int(stp) + 1,  # 1-based like the reference's istep
+        "axis": "u" if int(ax) == 0 else "v",
+        "i": int(i),
+        "j": int(j),
+    }
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def _simulate_cfl_impl(cfg: SimConfig, state: State, n_steps: int,
+                       istep0: int):
+    g, nm = cfg.grid, cfg.num
+    u0, v0, F, p = apply_bc(state.u, state.v, state.F, state.p)
+    state = State(F=F, u=u0, v=v0, p=p)
+    even1 = (istep0 + 1) % 2 == 0
+
+    def cfl_of(s):
+        cu = s.u * (nm.dt * g.dxi)
+        cv = s.v * (nm.dt * g.dyi)
+        ku = jnp.argmax(cu)
+        kv = jnp.argmax(cv)
+        mu = cu.reshape(-1)[ku]
+        mv = cv.reshape(-1)[kv]
+        use_v = mv > mu
+        m = jnp.where(use_v, mv, mu)
+        # argmax returns the x64-dependent default int; pin the carry dtype
+        k = jnp.where(use_v, kv, ku).astype(jnp.int32)
+        n1 = jnp.int32(s.u.shape[1])
+        return m, jnp.where(use_v, 1, 0).astype(jnp.int32), k // n1, k % n1
+
+    def track(carry, s, local_step):
+        best, stp, ax, bi, bj = carry
+        m, a, i, j = cfl_of(s)
+        better = m > best
+        pick = lambda new, old: jnp.where(better, new, old)  # noqa: E731
+        return (pick(m, best), pick(local_step, stp), pick(a, ax),
+                pick(i, bi), pick(j, bj))
+
+    zero = jnp.asarray(-jnp.inf, state.u.dtype)
+    iz = jnp.zeros((), jnp.int32)
+    carry0 = (zero, iz, iz, iz, iz)
+    n_pairs, rem = divmod(n_steps, 2)
+
+    def body(c, k):
+        s, rec = c
+        s = step(cfg, s, even_step=even1, lean=True)
+        rec = track(rec, s, 2 * k)
+        s = step(cfg, s, even_step=not even1, lean=True)
+        rec = track(rec, s, 2 * k + 1)
+        return (s, rec), None
+
+    (state, rec), _ = jax.lax.scan(
+        body, (state, carry0), jnp.arange(n_pairs, dtype=jnp.int32))
+    if rem:
+        state = step(cfg, state, even_step=even1, lean=True)
+        rec = track(rec, state, jnp.asarray(n_steps - 1, jnp.int32))
+    return (state,) + rec
 
 
 def _simulate_strips(cfg: SimConfig, state: State, n_pairs: int, rem: int,
