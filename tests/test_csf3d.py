@@ -257,3 +257,27 @@ def test_cli_rejects_csf_outside_3d(capsys):
     assert main(["--csf", "--nx", "16", "--steps", "1",
                  "--no-frames"]) == 2
     assert "--three-d" in capsys.readouterr().err
+
+
+def test_csf_with_rbsor_hybrid_matches_xla():
+    """BOTH round-4 upgrades composed: csf=True (in-kernel normals in
+    the slab predictor) + pressure_solver='rbsor' (the XLA solve hosted
+    between the phase kernels) must match the all-XLA path at f64 — the
+    two features share the step and must not interfere."""
+    import warnings
+
+    g = Grid3D(16, 16, 16)
+    s = init_state_3d(g, ic=1)
+    s = tv.State3D(*(jnp.asarray(np.asarray(a), jnp.float64) for a in s))
+    kw = dict(pressure_solver="rbsor", sor_tol=1e-6, sor_max_iter=2000,
+              csf=True)
+    want = simulate_3d(g, s, 3, backend="xla", **kw)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any fallback warning = failure
+        got = simulate_3d(g, s, 3, backend="pallas", **kw)
+    for name, atol in (("F", 1e-11), ("u", 1e-11), ("v", 1e-11),
+                       ("w", 1e-11), ("p", 1e-7)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name))[1:-1, 1:-1, 1:-1],
+            np.asarray(getattr(want, name))[1:-1, 1:-1, 1:-1],
+            atol=atol, err_msg=name)
