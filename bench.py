@@ -138,6 +138,33 @@ def bench_512_rbsor(tv, n_steps=200):
     return 512 * 512 * n_steps / best, best
 
 
+def bench_512_mg_rel(tv, n_steps=200):
+    """Bounded-cost numerics upgrade (round 4, Numerics.sor_tol_rel):
+    512^2 dam break with geometric multigrid solved to a RELATIVE
+    residual target (1% of each step's divergence-source scale) on the
+    HYBRID pallas step. This is the production setting BASELINE.md's
+    round-4 lesson recommends (an absolute tol is unreachable at flow
+    scale, so the absolute-default rbsor/mg cells run to their caps);
+    a regression in the relative-stop path or mg's cycle count moves
+    this key."""
+    cfg = tv.SimConfig(grid=tv.Grid2D(512, 512),
+                       num=tv.Numerics(backend="pallas",
+                                       pressure_solver="mg",
+                                       sor_tol=0.0, sor_tol_rel=1e-2,
+                                       sor_max_iter=50))
+    state = tv.init_state(cfg, ic=1)
+
+    def run(s):
+        t0 = time.perf_counter()
+        out = tv.simulate(cfg, s, n_steps)
+        np.asarray(out.F[:1, :8])
+        return time.perf_counter() - t0, out
+
+    _, s = run(state)  # warmup / compile
+    best = min(run(state)[0] for _ in range(3))
+    return 512 * 512 * n_steps / best, best
+
+
 def bench_dist_512(tv, n_steps=1000):
     """Distributed machinery tax gate: 512^2 dam break through Decomp on a
     1x1 mesh (windowed per-shard kernel), device-resident blocked state."""
@@ -200,6 +227,7 @@ def main():
                         ("cups_dist_512_1x1", bench_dist_512),
                         ("cups_2048_strips", bench_2048_beyond_vmem),
                         ("cups_512_rbsor", bench_512_rbsor),
+                        ("cups_512_mg_rel1e2", bench_512_mg_rel),
                         ("cups_3d_256_streamed", bench_3d_256_streamed)):
             try:
                 cups_x, secs_x = fn(tv)

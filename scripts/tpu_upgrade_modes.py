@@ -41,9 +41,14 @@ def want(key):
     return not CELLS or key in CELLS
 
 
-def cups2d(label, n, backend, solver, steps=None):
+def cups2d(label, n, backend, solver, steps=None, tol_rel=0.0):
     steps = steps or STEPS2D
-    num = tv.Numerics(backend=backend, pressure_solver=solver)
+    # tol_rel > 0 = the bounded-cost production mode (sor_tol_rel; the
+    # absolute default is unreachable for rhs ~ 1e8, so those cells run
+    # to the cap/floor every step — the round-4 'honest lesson' cells)
+    num = tv.Numerics(backend=backend, pressure_solver=solver,
+                      sor_tol=0.0 if tol_rel else 1e-3,
+                      sor_tol_rel=tol_rel)
     cfg = tv.SimConfig(grid=tv.Grid2D(n, n), num=num)
     s = tv.init_state(cfg, ic=1)
     t0 = time.perf_counter()
@@ -63,11 +68,14 @@ def cups2d(label, n, backend, solver, steps=None):
     return c
 
 
-def cups3d(label, n, backend, solver="jacobi", csf=False, steps=None):
+def cups3d(label, n, backend, solver="jacobi", csf=False, steps=None,
+           tol_rel=0.0):
     steps = steps or STEPS3D
     g = Grid3D(n, n, n)
     s = tv.init_state_3d(g, ic=1)
     kw = dict(backend=backend, pressure_solver=solver, csf=csf)
+    if tol_rel:
+        kw.update(sor_tol=0.0, sor_tol_rel=tol_rel)
     t0 = time.perf_counter()
     s = simulate_3d(g, s, steps, **kw)
     np.asarray(s.F[:1, :1, :8])
@@ -122,6 +130,28 @@ for key, label, backend, solver, steps in cells2d[1:]:
 for key, label, backend, solver, csf, steps in cells3d[1:]:
     if want(key):
         out[key] = cups3d(label, 200, backend, solver, csf, steps)
+
+# bounded-cost production cells (sor_tol_rel=1e-2: reduce each step's
+# divergence residual to 1% of its source scale — converged projection at
+# O(1) warm-started cycles/sweeps per step)
+for key, label, backend, solver, rel in (
+    ("2d_512_mg_rel1e2", "2d 512^2 mg HYBRID rel=1e-2", "pallas", "mg",
+     1e-2),
+    ("2d_512_rbsor_rel1e2", "2d 512^2 rbsor HYBRID rel=1e-2", "pallas",
+     "rbsor", 1e-2),
+    ("2d_512_mg_rel1e1", "2d 512^2 mg HYBRID rel=1e-1", "pallas", "mg",
+     1e-1),
+):
+    if want(key):
+        out[key] = cups2d(label, 512, backend, solver, tol_rel=rel)
+for key, label, backend, solver, rel in (
+    ("3d_200_mg_rel1e2", "3d 200^3 mg HYBRID rel=1e-2", "pallas", "mg",
+     1e-2),
+    ("3d_200_rbsor_rel1e2", "3d 200^3 rbsor HYBRID rel=1e-2", "pallas",
+     "rbsor", 1e-2),
+):
+    if want(key):
+        out[key] = cups3d(label, 200, backend, solver, tol_rel=rel)
 
 # env-drift check
 if want("2d_512_jacobi_mono_recheck"):

@@ -413,3 +413,51 @@ def test_compiled_streamed_jacobi_bitexact_vs_resident():
     b = np.asarray(jax.jit(
         lambda p, r: streamed_jacobi_3d(g, 10, p, r))(p, rhs))
     assert np.array_equal(a, b), f"max|diff| {np.abs(a - b).max():.3e}"
+
+
+def test_compiled_rel_tol_bounded_cost_mg_hybrid():
+    """The round-4 bounded-cost production mode compiled on the chip
+    (Numerics.sor_tol_rel): mg in the HYBRID pallas step with a RELATIVE
+    stopping tolerance — the traced tolerance is a per-solve scalar
+    (tol_rel * max|rhs'|) instead of a compile-time constant, which is a
+    genuinely different while_loop program than the absolute pins above.
+    Must compile, stay finite/bounded/mass-conserving over a short
+    horizon, and one isolated compiled solve must actually stop at the
+    relative target (not the floor: early exit is the feature)."""
+    import jax
+    from tpuvof.ops import apply_bc, mix_properties
+    from tpuvof.ops.mg import mg_solve
+    from tpuvof.ops.poisson import divergence_rhs, residual
+
+    rel = 1e-2
+    cfg = tv.SimConfig(grid=tv.Grid2D(64, 64),
+                       num=tv.Numerics(backend="pallas",
+                                       pressure_solver="mg", sor_tol=0.0,
+                                       sor_tol_rel=rel, sor_max_iter=50))
+    from tpuvof.solver import effective_backend
+
+    assert effective_backend(cfg) == "pallas"
+    state = tv.init_state(cfg, ic=1)
+    out = tv.simulate(cfg, state, 12)
+    F = np.asarray(out.F)
+    assert np.isfinite(F).all() and F.min() >= 0.0 and F.max() <= 1.0
+    m0 = float(np.asarray(state.F)[1:-1, 1:-1].sum())
+    assert abs(F[1:-1, 1:-1].sum() - m0) / m0 < 1e-3
+
+    # isolated compiled solve on a developed-flow rhs: stops at the
+    # relative target, above the floor a run-to-stall solve reaches
+    g = cfg.grid
+    s = tv.simulate(tv.SimConfig(grid=g), state, 100)
+    u, v, Fb, p = apply_bc(s.u, s.v, s.F, s.p)
+    rho, _ = mix_properties(cfg.fluid, Fb)
+    rhs = divergence_rhs(g, cfg.num, u, v, rho)
+    scale = float(jnp.max(jnp.abs(rhs - jnp.mean(rhs))))
+    p_sol = jax.jit(lambda p0, r: mg_solve(
+        p0, r, (g.dxi**2, g.dyi**2), 0.0, 50, tol_rel=rel))(
+        jnp.zeros_like(p), rhs)
+    r = float(residual(g, p_sol, rhs))
+    assert np.isfinite(np.asarray(p_sol)).all()
+    assert r <= rel * scale, f"residual {r:.3e} vs rel target {rel * scale:.3e}"
+    assert r > 1e-6 * scale, (
+        f"residual {r:.3e} suspiciously deep — the relative stop did not "
+        f"fire early (floor run?)")

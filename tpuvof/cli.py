@@ -60,6 +60,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "in grid size; serial runs only); auto = the "
                         "measured-best upgrade per run mode (mg serial, "
                         "rbsor distributed)")
+    p.add_argument("--sor-tol", type=float, default=1e-3, dest="sor_tol",
+                   help="absolute residual tolerance for the rbsor/mg "
+                        "pressure upgrades (max|Ap-rhs| on the projected "
+                        "system)")
+    p.add_argument("--sor-tol-rel", type=float, default=0.0,
+                   dest="sor_tol_rel",
+                   help="relative residual tolerance for rbsor/mg: stop at "
+                        "max(--sor-tol, REL * max|rhs|) per solve — the "
+                        "bounded-cost production mode (an absolute tol is "
+                        "unreachable for production-scale flows, so without "
+                        "this every step burns the iteration cap; "
+                        "BASELINE.md). Try 1e-2.")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of the run to this dir")
     # output
@@ -297,6 +309,7 @@ def run_3d(args) -> int:
         dec = Decomp3D(g, mesh, dt=args.dt, n_jacobi=args.jacobi,
                        backend=backend,
                        pressure_solver=args.pressure_solver,
+                       sor_tol=args.sor_tol, sor_tol_rel=args.sor_tol_rel,
                        csf=args.csf)
     os.makedirs(args.outdir, exist_ok=True)
     print(f">>> 3-D VOF dam break: {n}^3, dt = {args.dt:4.2e}, "
@@ -317,6 +330,8 @@ def run_3d(args) -> int:
                 state = simulate_3d(g, state, k, args.dt, args.jacobi,
                                     backend=backend, istep0=done,
                                     pressure_solver=args.pressure_solver,
+                                    sor_tol=args.sor_tol,
+                                    sor_tol_rel=args.sor_tol_rel,
                                     csf=args.csf)
             done += k
             F = np.asarray(state.F)
@@ -507,7 +522,9 @@ def main(argv=None) -> int:
         grid=tv.Grid2D(args.nx, ny).validate(),
         num=tv.Numerics(dt=args.dt, n_jacobi=args.jacobi,
                         backend=args.backend,
-                        pressure_solver=args.pressure_solver),
+                        pressure_solver=args.pressure_solver,
+                        sor_tol=args.sor_tol,
+                        sor_tol_rel=args.sor_tol_rel),
     )
 
     istep = 0

@@ -107,6 +107,18 @@ class Numerics:
     sor_omega: float = 1.7
     sor_tol: float = 1e-3
     sor_max_iter: int = 200
+    # Relative stopping tolerance for the residual-driven solvers: when
+    # > 0, each solve stops at max(sor_tol, sor_tol_rel * max|rhs'|)
+    # where rhs' is that solve's nullspace-projected right-hand side.
+    # An ABSOLUTE sor_tol is unreachable for production-scale flows
+    # (rhs ~ rho/dt * div(u*) reaches 1e8; BASELINE.md "Production cost
+    # of the upgrade modes"), so without this every step burns the
+    # iteration cap / runs to the f32 floor. sor_tol_rel makes the
+    # upgrade cost bounded and scale-invariant: the warm-started
+    # per-step solve terminates after O(1) cycles/sweeps once the flow
+    # is developed. 0.0 (default) preserves the absolute-only semantics
+    # bit-for-bit (the tolerance stays a compile-time constant).
+    sor_tol_rel: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -153,19 +153,34 @@ def _prolong(e):
     return e
 
 
-def mg_solve(p, rhs, inv2, tol, max_cycles, nu: int = 2,
-             coarse_iters: int = 50):
+def mg_solve(p, rhs, inv2, tol, max_cycles, nu: int | None = None,
+             coarse_iters: int = 50, tol_rel: float = 0.0):
     """Solve the interior pressure system by residual-driven V-cycles.
 
     p     — full ghosted array (ghosts untouched, as in the reference);
     rhs   — interior-shaped right-hand side;
     inv2  — per-axis 1/h^2 at the fine level (g.dxi**2, g.dyi**2[, g.dzi**2]);
     tol   — stop when max|Ap - rhs| (nullspace-projected) <= tol;
-    max_cycles — V-cycle cap (the while_loop bound).
+    max_cycles — V-cycle cap (the while_loop bound);
+    tol_rel — when > 0, raise tol to tol_rel * max|rhs'| of THIS solve
+              (Numerics.sor_tol_rel; ops.poisson.effective_tol) — the
+              bounded-cost production mode: a warm-started per-step
+              solve terminates after O(1) V-cycles instead of running
+              to the f32 floor + stall exit every step.
+    nu    — pre/post smoothing sweeps per level; None = measured policy:
+            V(1,1) in the relative mode, V(2,2) otherwise. On the v5e
+            (scripts/tpu_mg_nu_ab.py, warm-started rel=1e-2 production
+            steps) V(1,1) is 27%/41% faster end-to-end at 512²/200³ than
+            V(2,2) — the extra cycles cost less than the extra sweeps —
+            while V(3,3) buys nothing; the absolute/floor regime keeps
+            V(2,2), whose contraction the existing measurements and the
+            ≥10×-per-cycle test pin.
 
     Raises ValueError if the grid cannot be coarsened at all (every axis
     odd or < 8) — use pressure_solver='rbsor' there.
     """
+    if nu is None:
+        nu = 1 if (tol_rel and tol_rel > 0.0) else 2
     nd = rhs.ndim
     shapes = mg_levels(rhs.shape)
     if len(shapes) < 2:
@@ -182,6 +197,9 @@ def mg_solve(p, rhs, inv2, tol, max_cycles, nu: int = 2,
     # pure-Neumann compatibility: solve against the projected rhs (pressure
     # is defined up to a constant); same treatment as _rbsor.
     rhs = rhs - jnp.mean(rhs)
+    from .poisson import effective_tol
+
+    tol = effective_tol(tol, tol_rel, rhs)
 
     def vcycle(lvl, p_l, rhs_l):
         axes, ap, ap_inv, red = levels[lvl]

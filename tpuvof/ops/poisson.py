@@ -154,7 +154,7 @@ def solve_pressure(g: Grid2D, nm: Numerics, p, u_star, v_star, rho):
         from .mg import mg_solve
 
         return mg_solve(p, rhs, (g.dxi**2, g.dyi**2), nm.sor_tol,
-                        nm.sor_max_iter)
+                        nm.sor_max_iter, tol_rel=nm.sor_tol_rel)
     if nm.pressure_solver != "jacobi":
         raise ValueError(
             f"unknown pressure_solver {nm.pressure_solver!r} "
@@ -206,6 +206,21 @@ STALL_ITERS = 25
 PLATEAU_FACTOR = 2.0
 
 
+def effective_tol(tol: float, tol_rel: float, rhs_projected):
+    """Stopping tolerance for a residual-driven solve: the absolute
+    ``tol``, raised to ``tol_rel * max|rhs'|`` when a relative tolerance
+    is configured (Numerics.sor_tol_rel). ``rhs_projected`` must already
+    be nullspace-projected (mean-free) — the scale then matches the
+    initial residual of a zero guess, so ``tol_rel`` reads as "reduce
+    the divergence residual to this fraction of its source scale".
+    ``tol_rel`` is a Python float: at 0.0 (the default) the traced
+    program is unchanged (the tolerance stays a compile-time constant,
+    preserving the existing programs and their parity pins)."""
+    if tol_rel and tol_rel > 0.0:
+        return jnp.maximum(tol, tol_rel * jnp.max(jnp.abs(rhs_projected)))
+    return tol
+
+
 def _rbsor(g: Grid2D, nm: Numerics, p, rhs):
     """Red-black successive over-relaxation with an on-device residual stop.
 
@@ -224,6 +239,7 @@ def _rbsor(g: Grid2D, nm: Numerics, p, rhs):
     # standard treatment (pressure is defined up to a constant anyway).
     # The reference-parity 'jacobi' mode deliberately does NOT do this.
     rhs = rhs - jnp.mean(rhs)
+    tol = effective_tol(nm.sor_tol, nm.sor_tol_rel, rhs)
     ae, aw, an, a_s, ap_inv = poisson_coefficients(g, p.dtype)
     ri = (1, g.nx + 1)
     rj = (1, g.ny + 1)
@@ -249,7 +265,7 @@ def _rbsor(g: Grid2D, nm: Numerics, p, rhs):
     def cond(carry):
         p, it, r, best, stall = carry
         floored = (stall >= STALL_ITERS) & (r <= PLATEAU_FACTOR * best)
-        return (it < nm.sor_max_iter) & (r > nm.sor_tol) & ~floored
+        return (it < nm.sor_max_iter) & (r > tol) & ~floored
 
     def body(carry):
         p, it, r, best, stall = carry

@@ -251,6 +251,14 @@ class Decomp:
         g, nm, h = self.cfg.grid, self.cfg.num, self.halo
         npts = g.nx * g.ny
         rhs = rhs - self._gsum(rhs) / npts
+        # relative stopping tolerance (Numerics.sor_tol_rel): the scale is
+        # the GLOBAL max|rhs'| (pmax over shards), so the effective tol —
+        # and therefore the trip count — is identical on every shard and
+        # matches the serial solver's jnp.max (ops.poisson.effective_tol)
+        tol = nm.sor_tol
+        if nm.sor_tol_rel and nm.sor_tol_rel > 0.0:
+            tol = jnp.maximum(tol,
+                              nm.sor_tol_rel * self._gmax(jnp.abs(rhs)))
         ae, aw, an, a_s, ap_inv = self._poisson_coeffs(p.dtype)
         ap = 1.0 / ap_inv
         shape = (self.nxl, self.nyl)
@@ -289,7 +297,7 @@ class Decomp:
             p, it, r, best, stall = carry
             floored = ((stall >= STALL_ITERS)
                        & (r <= PLATEAU_FACTOR * best))
-            return (it < nm.sor_max_iter) & (r > nm.sor_tol) & ~floored
+            return (it < nm.sor_max_iter) & (r > tol) & ~floored
 
         def body(carry):
             p, it, r, best, stall = carry

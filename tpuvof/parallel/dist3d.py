@@ -187,7 +187,8 @@ class Decomp3D:
                  backend: str = "xla", halo_width: int | None = None,
                  pencil: bool = False, pressure_solver: str = "jacobi",
                  sor_omega: float = 1.7, sor_tol: float = 1e-3,
-                 sor_max_iter: int = 200, csf: bool = False):
+                 sor_max_iter: int = 200, csf: bool = False,
+                 sor_tol_rel: float = 0.0):
         axes = tuple(mesh.axis_names)
         if len(axes) not in (1, 2):
             raise ValueError(
@@ -223,6 +224,7 @@ class Decomp3D:
         self.sor_omega = sor_omega
         self.sor_tol = sor_tol
         self.sor_max_iter = sor_max_iter
+        self.sor_tol_rel = sor_tol_rel
         # 3-D surface tension (the upgrade the reference leaves disabled,
         # 3dvof.py:304-332,607): XLA engine computes local normals +
         # curvature with 4 extra ghost exchanges per step; pallas engine
@@ -469,6 +471,13 @@ class Decomp3D:
         g = self.g
         npts = g.nx * g.ny * g.nz
         rhs = rhs - self._gsum(rhs) / npts
+        # relative stopping tolerance: GLOBAL max|rhs'| scale (pmax), so
+        # the effective tol matches serial and every shard's trip count
+        # (cf. parallel/dist.py and ops.poisson.effective_tol)
+        tol = self.sor_tol
+        if self.sor_tol_rel and self.sor_tol_rel > 0.0:
+            tol = jnp.maximum(tol,
+                              self.sor_tol_rel * self._gmax(jnp.abs(rhs)))
         ap_inv = coeffs[-1]
         ap = 1.0 / ap_inv
         I = (slice(1, -1),) * 3
@@ -502,7 +511,7 @@ class Decomp3D:
             p, it, r, best, stall = carry
             floored = ((stall >= STALL_ITERS)
                        & (r <= PLATEAU_FACTOR * best))
-            return (it < self.sor_max_iter) & (r > self.sor_tol) & ~floored
+            return (it < self.sor_max_iter) & (r > tol) & ~floored
 
         def body(carry):
             p, it, r, best, stall = carry

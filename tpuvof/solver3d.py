@@ -107,7 +107,8 @@ def _solve_pressure_3d(g: Grid3D, dt, n_iter, p, u_star, v_star, w_star, rho):
     return jax.lax.fori_loop(0, n_iter, body, p, unroll=True)
 
 
-def _rbsor_3d(g: Grid3D, p, rhs, omega: float, tol: float, max_iter: int):
+def _rbsor_3d(g: Grid3D, p, rhs, omega: float, tol: float, max_iter: int,
+              tol_rel: float = 0.0):
     """3-D red-black SOR with the on-device residual stop — the same
     upgrade path over the reference's fixed Jacobi sweeps that
     ops/poisson._rbsor gives the 2-D solver (the reference's 3-D loop
@@ -118,8 +119,9 @@ def _rbsor_3d(g: Grid3D, p, rhs, omega: float, tol: float, max_iter: int):
     (ops.poisson.STALL_ITERS with no new best AND plateaued; the f32 TPU
     case). Not differentiable (while_loop); the diff path keeps the
     fixed-iteration solvers."""
-    from .ops.poisson import PLATEAU_FACTOR, STALL_ITERS
+    from .ops.poisson import PLATEAU_FACTOR, STALL_ITERS, effective_tol
     rhs = rhs - jnp.mean(rhs)
+    tol = effective_tol(tol, tol_rel, rhs)
     coeffs = _poisson_coeffs_3d(g, p.dtype)
     ap_inv = coeffs[-1]
     ap = 1.0 / ap_inv
@@ -222,7 +224,8 @@ def _step_3d_pallas(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
                     state: State3D, phase: int,
                     pressure_solver: str = "jacobi",
                     sor_omega: float = 1.7, sor_tol: float = 1e-3,
-                    sor_max_iter: int = 200, csf: bool = False) -> State3D:
+                    sor_max_iter: int = 200, csf: bool = False,
+                    sor_tol_rel: float = 0.0) -> State3D:
     """Single padded-at-the-edges step (pads/unpads around the padded-state
     step; `simulate_3d` pads once outside its scan instead)."""
     p1, p2 = _pad_jk(g)
@@ -233,7 +236,7 @@ def _step_3d_pallas(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
     state = State3D(F=F, u=u, v=v, w=w, p=p)
     state = _step_3d_pallas_padded(g, fl, dt, n_jacobi, state, phase,
                                    pressure_solver, sor_omega, sor_tol,
-                                   sor_max_iter, csf)
+                                   sor_max_iter, csf, sor_tol_rel)
     u, v, w, F, p = _apply_bc_3d_win(
         g, state.u, state.v, state.w, state.F, state.p)
     state = State3D(F=F, u=u, v=v, w=w, p=p)
@@ -246,7 +249,8 @@ def _step_3d_pallas_padded(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
                            pressure_solver: str = "jacobi",
                            sor_omega: float = 1.7, sor_tol: float = 1e-3,
                            sor_max_iter: int = 200,
-                           csf: bool = False) -> State3D:
+                           csf: bool = False,
+                           sor_tol_rel: float = 0.0) -> State3D:
     """The whole step on the slab-tiled Pallas kernels (VERDICT r1 #1):
     predict+rhs, chunk-streamed Jacobi, correction, and the three FCT
     sweeps each run as one double-buffered VMEM-streaming kernel; one
@@ -323,13 +327,13 @@ def _step_3d_pallas_padded(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
         rhs_int = rhs[1:g.nx + 1, 1:ny2 - 1, 1:nz2 - 1]
         if pressure_solver == "rbsor":
             p_sol = _rbsor_3d(g, p_un, rhs_int, sor_omega, sor_tol,
-                              sor_max_iter)
+                              sor_max_iter, tol_rel=sor_tol_rel)
         elif pressure_solver == "mg":
             from .ops.mg import mg_solve
 
             p_sol = mg_solve(p_un, rhs_int,
                              (g.dxi**2, g.dyi**2, g.dzi**2),
-                             sor_tol, sor_max_iter)
+                             sor_tol, sor_max_iter, tol_rel=sor_tol_rel)
         else:
             raise ValueError(
                 f"unknown pressure_solver {pressure_solver!r} "
@@ -360,7 +364,7 @@ def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
             state: State3D, phase: int, backend: str = "xla",
             pressure_solver: str = "jacobi", sor_omega: float = 1.7,
             sor_tol: float = 1e-3, sor_max_iter: int = 200,
-            csf: bool = False) -> State3D:
+            csf: bool = False, sor_tol_rel: float = 0.0) -> State3D:
     """One step; ``phase`` = istep % 3 selects the sweep rotation
     (3dvof.py:351-363; the main loop pre-increments istep, so the first
     step runs phase 1). backend='pallas' runs the slab-tiled kernel
@@ -385,7 +389,7 @@ def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
         if pallas3d_supported(g, csf):
             return _step_3d_pallas(g, fl, dt, n_jacobi, state, phase,
                                    pressure_solver, sor_omega, sor_tol,
-                                   sor_max_iter, csf)
+                                   sor_max_iter, csf, sor_tol_rel)
         import warnings
 
         warnings.warn(
@@ -408,13 +412,14 @@ def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
     u, v, w, F, p, rho = apply_bc_3d(u, v, w, F, p, rho)
     if pressure_solver == "rbsor":
         rhs = _rhs_3d(g, dt, u_star, v_star, w_star, rho)
-        p = _rbsor_3d(g, p, rhs, sor_omega, sor_tol, sor_max_iter)
+        p = _rbsor_3d(g, p, rhs, sor_omega, sor_tol, sor_max_iter,
+                      tol_rel=sor_tol_rel)
     elif pressure_solver == "mg":
         from .ops.mg import mg_solve
 
         rhs = _rhs_3d(g, dt, u_star, v_star, w_star, rho)
         p = mg_solve(p, rhs, (g.dxi**2, g.dyi**2, g.dzi**2),
-                     sor_tol, sor_max_iter)
+                     sor_tol, sor_max_iter, tol_rel=sor_tol_rel)
     elif pressure_solver != "jacobi":
         raise ValueError(
             f"unknown pressure_solver {pressure_solver!r} "
@@ -435,7 +440,8 @@ def simulate_3d(g: Grid3D, state: State3D, n_steps: int,
                 fl: Fluid | None = None, backend: str = "xla",
                 istep0: int = 0, pressure_solver: str = "jacobi",
                 sor_omega: float = 1.7, sor_tol: float = 1e-3,
-                sor_max_iter: int = 200, csf: bool = False) -> State3D:
+                sor_max_iter: int = 200, csf: bool = False,
+                sor_tol_rel: float = 0.0) -> State3D:
     """Advance n_steps with the reference's 1-based phase schedule
     (first step phase 1, then 2, 0, 1, ...). The pallas backend pads the
     state once (jk lane/sublane alignment) and scans the padded step.
@@ -452,16 +458,19 @@ def simulate_3d(g: Grid3D, state: State3D, n_steps: int,
         pressure_solver = "mg"  # serial: see solver.resolve_auto
     return _simulate_3d_impl(g, state, n_steps, dt, n_jacobi, fl,
                              backend, istep0 % 3, pressure_solver,
-                             sor_omega, sor_tol, sor_max_iter, csf)
+                             sor_omega, sor_tol, sor_max_iter, csf,
+                             sor_tol_rel)
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+@partial(jax.jit,
+         static_argnums=(0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
 def _simulate_3d_impl(g: Grid3D, state: State3D, n_steps: int,
                       dt: float, n_jacobi: int,
                       fl: Fluid | None, backend: str,
                       istep0: int, pressure_solver: str = "jacobi",
                       sor_omega: float = 1.7, sor_tol: float = 1e-3,
-                      sor_max_iter: int = 200, csf: bool = False) -> State3D:
+                      sor_max_iter: int = 200, csf: bool = False,
+                      sor_tol_rel: float = 0.0) -> State3D:
     fl = fl or Fluid()
     use_pallas = backend == "pallas" and pallas3d_supported(g, csf)
     if use_pallas:
@@ -477,11 +486,11 @@ def _simulate_3d_impl(g: Grid3D, state: State3D, n_steps: int,
         state = State3D(F=F, u=u, v=v, w=w, p=p)
         stepper = lambda s, ph: _step_3d_pallas_padded(  # noqa: E731
             g, fl, dt, n_jacobi, s, ph, pressure_solver, sor_omega,
-            sor_tol, sor_max_iter, csf)
+            sor_tol, sor_max_iter, csf, sor_tol_rel)
     else:
         stepper = lambda s, ph: step_3d(  # noqa: E731
             g, fl, dt, n_jacobi, s, ph, backend, pressure_solver,
-            sor_omega, sor_tol, sor_max_iter, csf)
+            sor_omega, sor_tol, sor_max_iter, csf, sor_tol_rel)
 
     ph1 = (istep0 + 1) % 3  # phase of the first step taken here
 
