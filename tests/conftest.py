@@ -55,6 +55,26 @@ def pytest_configure(config):
 _SLOW = {
     "test_graft.py::test_dryrun_multichip_8",
     "test_graft.py::test_dryrun_multichip_odd",
+    # distributed mg (test_mg_dist.py, measured 45-150 s contended): the
+    # fast set keeps the (2,4) 2-D solve at all three crossover regimes,
+    # one 3-D solve, the 2-D full-step pin, and the raise test — the
+    # layout sweep / 3-D redundancy / tolrel variant run under --runslow
+    "test_mg_dist.py::test_solve_matches_serial_2d[8-1-0]",
+    "test_mg_dist.py::test_solve_matches_serial_2d[8-1-256]",
+    "test_mg_dist.py::test_solve_matches_serial_2d[8-1-1000000000]",
+    "test_mg_dist.py::test_solve_matches_serial_2d[1-8-0]",
+    "test_mg_dist.py::test_solve_matches_serial_2d[1-8-256]",
+    "test_mg_dist.py::test_solve_matches_serial_2d[1-8-1000000000]",
+    "test_mg_dist.py::test_solve_matches_serial_2d[2-2-0]",
+    "test_mg_dist.py::test_solve_matches_serial_2d[2-2-256]",
+    "test_mg_dist.py::test_solve_matches_serial_2d[2-2-1000000000]",
+    "test_mg_dist.py::test_solve_matches_serial_3d[2-4-256]",
+    "test_mg_dist.py::test_solve_matches_serial_3d[2-4-1000000000]",
+    "test_mg_dist.py::test_solve_matches_serial_3d[4-1-0]",
+    "test_mg_dist.py::test_solve_matches_serial_3d[4-1-256]",
+    "test_mg_dist.py::test_solve_matches_serial_3d[4-1-1000000000]",
+    "test_mg_dist.py::test_solve_matches_serial_tolrel",
+    "test_mg_dist.py::test_step_dist3d_mg_matches_serial",
     "test_3d.py::test_pallas_3d_step_fuzz[2-22]",
     "test_3d.py::test_rbsor_3d_with_pallas_backend_runs_hybrid",
     "test_parallel_3d.py::test_distributed_3d_matches_serial[4]",

@@ -219,9 +219,10 @@ def test_pallas_backend_routes_mg_to_hybrid():
 def test_auto_resolves_to_mg_serial_and_rbsor_distributed():
     """pressure_solver='auto' = the measured-best upgrade per run mode
     (BASELINE.md "Upgraded pressure solvers on the chip"): mg in serial
-    runs (bitwise-identical trajectory to an explicit 'mg' config),
-    rbsor in distributed ones (mg's coarse levels would be
-    latency-bound on a mesh)."""
+    runs (bitwise-identical trajectory to an explicit 'mg' config) AND
+    in distributed ones since parallel/mg.py landed (its coarse levels
+    ride one all_gather, so the old latency-bound objection no longer
+    applies); rbsor only where the global grid cannot coarsen."""
     import jax
     from jax.sharding import Mesh
     from tpuvof.parallel import Decomp, Decomp3D
@@ -250,10 +251,17 @@ def test_auto_resolves_to_mg_serial_and_rbsor_distributed():
     for x, y in zip(a3, b3):
         assert float(jnp.max(jnp.abs(x - y))) == 0.0
 
-    # distributed: auto -> rbsor, accepted by both drivers
+    # distributed: auto -> mg where the global grid coarsens...
     mesh2 = Mesh(np.array(jax.devices()[:2]).reshape(2, 1), ("mx", "my"))
     dec = Decomp(cfg_auto, mesh2)
-    assert dec.cfg.num.pressure_solver == "rbsor"
+    assert dec.cfg.num.pressure_solver == "mg"
     mesh1 = Mesh(np.array(jax.devices()[:2]), ("mx",))
     dec3 = Decomp3D(g3, mesh1, pressure_solver="auto")
-    assert dec3.pressure_solver == "rbsor"
+    assert dec3.pressure_solver == "mg"
+    # ...and rbsor on non-coarsenable grids (6 halves to 3 < 4)
+    cfg6 = tv.SimConfig(grid=tv.Grid2D(6, 6),
+                        num=tv.Numerics(pressure_solver="auto", **num))
+    assert Decomp(cfg6, mesh2).cfg.num.pressure_solver == "rbsor"
+    g6 = Grid3D(6, 6, 6)
+    dec3b = Decomp3D(g6, mesh1, pressure_solver="auto")
+    assert dec3b.pressure_solver == "rbsor"

@@ -153,6 +153,56 @@ def _prolong(e):
     return e
 
 
+def _nu_policy(nu, tol_rel) -> int:
+    """Resolve nu=None to the measured smoothing policy (see mg_solve):
+    V(1,1) in the bounded-cost relative mode, V(2,2) otherwise. One
+    function so the serial and distributed solvers cannot drift apart
+    (identical nu is part of their 1e-12 parity contract)."""
+    if nu is None:
+        return 1 if (tol_rel and tol_rel > 0.0) else 2
+    return nu
+
+
+def _build_levels(shapes, inv2, dtype):
+    """Per-level (axes, ap, ap_inv, red_mask) for a coarsening ladder;
+    ``inv2`` is the 1/h^2 tuple at shapes[0] (each level divides by 4)."""
+    levels = []
+    for lvl, shape in enumerate(shapes):
+        axes, ap, ap_inv = _coeffs(shape,
+                                   tuple(c / 4.0**lvl for c in inv2), dtype)
+        levels.append((axes, ap, ap_inv, _red_mask(shape)))
+    return levels
+
+
+def _make_vcycle(shapes, levels, dtype, nu: int, coarse_iters: int):
+    """The recursive V-cycle over a (sub-)ladder: vcycle(lvl, p, rhs) on
+    interior-shaped arrays. Factored out of mg_solve so the distributed
+    solver (parallel/mg.py) can run the replicated coarse tail through
+    the EXACT serial arithmetic (its 1e-12 serial-parity contract)."""
+
+    def vcycle(lvl, p_l, rhs_l):
+        axes, ap, ap_inv, red = levels[lvl]
+        if lvl == len(levels) - 1:
+            def body(_, q):
+                return _rb_sweep(axes, ap_inv, red, q, rhs_l)
+            return jax.lax.fori_loop(0, coarse_iters, body, p_l)
+        for _ in range(nu):
+            p_l = _rb_sweep(axes, ap_inv, red, p_l, rhs_l)
+        r = _neigh(axes, p_l, rhs_l) - ap * p_l  # rhs - A p
+        rn = _restrict(r)
+        # zero initial error as rn*0, not jnp.zeros: under shard_map the
+        # loop carry must inherit rn's varying manual axes (a fresh
+        # constant is device-invariant and trips the vma check); XLA
+        # folds the multiply, and plain serial traces are unaffected
+        e = vcycle(lvl + 1, rn * 0.0, rn)
+        p_l = p_l + _prolong(e)
+        for _ in range(nu):
+            p_l = _rb_sweep(axes, ap_inv, red, p_l, rhs_l)
+        return p_l
+
+    return vcycle
+
+
 def mg_solve(p, rhs, inv2, tol, max_cycles, nu: int | None = None,
              coarse_iters: int = 50, tol_rel: float = 0.0):
     """Solve the interior pressure system by residual-driven V-cycles.
@@ -179,8 +229,7 @@ def mg_solve(p, rhs, inv2, tol, max_cycles, nu: int | None = None,
     Raises ValueError if the grid cannot be coarsened at all (every axis
     odd or < 8) — use pressure_solver='rbsor' there.
     """
-    if nu is None:
-        nu = 1 if (tol_rel and tol_rel > 0.0) else 2
+    nu = _nu_policy(nu, tol_rel)
     nd = rhs.ndim
     shapes = mg_levels(rhs.shape)
     if len(shapes) < 2:
@@ -188,11 +237,7 @@ def mg_solve(p, rhs, inv2, tol, max_cycles, nu: int | None = None,
             f"pressure_solver='mg' needs a coarsenable interior grid "
             f"(all extents even and >= 8); got {rhs.shape} — use 'rbsor'")
     dtype = p.dtype
-    levels = []
-    for lvl, shape in enumerate(shapes):
-        axes, ap, ap_inv = _coeffs(shape,
-                                   tuple(c / 4.0**lvl for c in inv2), dtype)
-        levels.append((axes, ap, ap_inv, _red_mask(shape)))
+    levels = _build_levels(shapes, inv2, dtype)
 
     # pure-Neumann compatibility: solve against the projected rhs (pressure
     # is defined up to a constant); same treatment as _rbsor.
@@ -201,20 +246,7 @@ def mg_solve(p, rhs, inv2, tol, max_cycles, nu: int | None = None,
 
     tol = effective_tol(tol, tol_rel, rhs)
 
-    def vcycle(lvl, p_l, rhs_l):
-        axes, ap, ap_inv, red = levels[lvl]
-        if lvl == len(levels) - 1:
-            def body(_, q):
-                return _rb_sweep(axes, ap_inv, red, q, rhs_l)
-            return jax.lax.fori_loop(0, coarse_iters, body, p_l)
-        for _ in range(nu):
-            p_l = _rb_sweep(axes, ap_inv, red, p_l, rhs_l)
-        r = _neigh(axes, p_l, rhs_l) - ap * p_l  # rhs - A p
-        e = vcycle(lvl + 1, jnp.zeros(shapes[lvl + 1], dtype), _restrict(r))
-        p_l = p_l + _prolong(e)
-        for _ in range(nu):
-            p_l = _rb_sweep(axes, ap_inv, red, p_l, rhs_l)
-        return p_l
+    vcycle = _make_vcycle(shapes, levels, dtype, nu, coarse_iters)
 
     axes0, ap0, ap_inv0, _ = levels[0]
 
@@ -248,8 +280,11 @@ def mg_solve(p, rhs, inv2, tol, max_cycles, nu: int | None = None,
         stall = jnp.where(improved, 0, stall + 1)
         return p_l, it + 1, r, best, stall
 
-    i0 = jnp.zeros((), jnp.int32)
     p0 = p[interior]
     r0 = resid(p0)
+    # (r0*0) int counters, not fresh zeros: when this runs REPLICATED
+    # inside shard_map (parallel/mg.py's gathered-fine-problem path) the
+    # it/stall carries must inherit r0's varying manual axes
+    i0 = (r0 * 0.0).astype(jnp.int32)
     p_int, *_ = jax.lax.while_loop(cond, body, (p0, i0, r0, r0, i0))
     return p.at[interior].set(p_int)

@@ -72,13 +72,18 @@ class Decomp:
     def __init__(self, cfg: SimConfig, mesh: Mesh, tile: int | None = None,
                  engine: str | None = None, tx: int | None = None):
         if cfg.num.pressure_solver == "auto":
-            # distributed 'auto' -> rbsor (serial resolves to mg —
-            # solver.resolve_auto; mg's coarse levels would be
-            # ICI-latency-bound on a mesh)
+            # distributed 'auto' -> mg where the global grid coarsens
+            # (the measured production upgrade — BASELINE.md "Bounded-cost
+            # production upgrades": mg 6-10x rbsor end-to-end; its coarse
+            # levels ride ONE all_gather instead of per-sweep exchanges,
+            # parallel/mg.py), rbsor on non-coarsenable grids
             from dataclasses import replace
 
-            cfg = cfg.replace(
-                num=replace(cfg.num, pressure_solver="rbsor"))
+            from ..ops.mg import mg_levels
+
+            pick = ("mg" if len(mg_levels((cfg.grid.nx, cfg.grid.ny))) >= 2
+                    else "rbsor")
+            cfg = cfg.replace(num=replace(cfg.num, pressure_solver=pick))
         self.cfg = cfg
         self.mesh = mesh
         # explicit per-shard tile for the TILED windowed engine (tests and
@@ -91,12 +96,10 @@ class Decomp:
         # engine's streaming height (strips_layout_2d).
         if engine not in (None, "full", "strips", "tiled"):
             raise ValueError(f"unknown shard engine {engine!r}")
-        if cfg.num.pressure_solver not in ("jacobi", "rbsor"):
+        if cfg.num.pressure_solver not in ("jacobi", "rbsor", "mg"):
             raise ValueError(
-                f"pressure_solver={cfg.num.pressure_solver!r} has no "
-                "distributed implementation (MG's coarse levels would be "
-                "latency-bound on a mesh); use 'rbsor' — the residual-"
-                "driven upgrade with per-half-sweep exchanges")
+                f"unknown pressure_solver {cfg.num.pressure_solver!r} "
+                "(jacobi | rbsor | mg | auto)")
         self._engine = engine
         self._tx = tx
         self._shard_tile_static = None
@@ -314,6 +317,14 @@ class Decomp:
         p, *_ = lax.while_loop(cond, body, (p, i0, r0, r0, i0))
         return p
 
+    def _mg_spec(self):
+        from .mg import MGDecomp
+
+        return MGDecomp(
+            axis_names=(self.halo.axis_x if self.px > 1 else None,
+                        self.halo.axis_y if self.py > 1 else None),
+            shards=(self.px, self.py))
+
     def _solve_pressure(self, p, u_star, v_star, rho):
         nm = self.cfg.num
         # the serial rhs op is shape-agnostic: local extents + global
@@ -321,6 +332,13 @@ class Decomp:
         rhs = divergence_rhs(self.gl, nm, u_star, v_star, rho)
         if nm.pressure_solver == "rbsor":
             return self._solve_pressure_rbsor(p, rhs)
+        if nm.pressure_solver == "mg":
+            from .mg import mg_solve_dist
+
+            g = self.cfg.grid
+            return mg_solve_dist(self._mg_spec(), p, rhs,
+                                 (g.dxi**2, g.dyi**2), nm.sor_tol,
+                                 nm.sor_max_iter, tol_rel=nm.sor_tol_rel)
         ae, aw, an, a_s, ap_inv = self._poisson_coeffs(p.dtype)
 
         def body(_, p):

@@ -210,16 +210,19 @@ class Decomp3D:
         self.dt = dt
         self.n_jacobi = n_jacobi
         if pressure_solver == "auto":
-            # distributed 'auto' -> rbsor (serial resolves to mg —
-            # solver.resolve_auto; mg's coarse levels would be
-            # ICI-latency-bound on a mesh)
-            pressure_solver = "rbsor"
-        if pressure_solver not in ("jacobi", "rbsor"):
+            # distributed 'auto' -> mg where the global grid coarsens
+            # (the measured production upgrade; its coarse levels ride ONE
+            # all_gather instead of per-sweep exchanges — parallel/mg.py),
+            # rbsor on non-coarsenable grids
+            from ..ops.mg import mg_levels
+
+            pressure_solver = (
+                "mg" if len(mg_levels((g.nx, g.ny, g.nz))) >= 2
+                else "rbsor")
+        if pressure_solver not in ("jacobi", "rbsor", "mg"):
             raise ValueError(
-                f"pressure_solver={pressure_solver!r} has no distributed "
-                "implementation (MG's coarse levels would be latency-bound "
-                "on a mesh); use 'rbsor' — the residual-driven upgrade "
-                "with per-half-sweep exchanges")
+                f"unknown pressure_solver {pressure_solver!r} "
+                "(jacobi | rbsor | mg | auto)")
         self.pressure_solver = pressure_solver
         self.sor_omega = sor_omega
         self.sor_tol = sor_tol
@@ -450,6 +453,18 @@ class Decomp3D:
         rhs, coeffs = self._poisson_local(p, us, vs, ws, rho)
         if self.pressure_solver == "rbsor":
             return self._solve_pressure_rbsor(p, rhs, coeffs)
+        if self.pressure_solver == "mg":
+            from .mg import MGDecomp, mg_solve_dist
+
+            g = self.g
+            spec = MGDecomp(
+                axis_names=(self.ax if self.px > 1 else None,
+                            self.ay if self.py > 1 else None, None),
+                shards=(self.px, self.py, 1))
+            return mg_solve_dist(spec, p, rhs,
+                                 (g.dxi**2, g.dyi**2, g.dzi**2),
+                                 self.sor_tol, self.sor_max_iter,
+                                 tol_rel=self.sor_tol_rel)
         I = (slice(1, -1),) * 3
         ap_inv = coeffs[-1]
 
