@@ -157,7 +157,10 @@ def test_unknown_solver_raises():
         tv.simulate(cfg, tv.init_state(cfg, ic=1), 1)
 
 
-def test_distributed_rejects_mg():
+def test_distributed_accepts_mg():
+    """Round 4 made mg distributed (parallel/mg.py): Decomp/Decomp3D
+    must ACCEPT pressure_solver='mg' (the pre-round-4 rejection is
+    gone); deep serial-parity coverage lives in tests/test_mg_dist.py."""
     import jax
     from jax.sharding import Mesh
     from tpuvof.parallel import Decomp, Decomp3D
@@ -165,10 +168,9 @@ def test_distributed_rejects_mg():
     cfg = tv.SimConfig(grid=tv.Grid2D(16, 16),
                        num=tv.Numerics(pressure_solver="mg"))
     mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("mx", "my"))
-    with pytest.raises(ValueError, match="rbsor"):
-        Decomp(cfg, mesh)
-    with pytest.raises(ValueError, match="rbsor"):
-        Decomp3D(Grid3D(16, 16, 16), mesh, pressure_solver="mg")
+    assert Decomp(cfg, mesh).cfg.num.pressure_solver == "mg"
+    d3 = Decomp3D(Grid3D(16, 16, 16), mesh, pressure_solver="mg")
+    assert d3.pressure_solver == "mg"
 
 
 @pytest.mark.parametrize("solver", ["rbsor", "mg"])
@@ -265,3 +267,33 @@ def test_auto_resolves_to_mg_serial_and_rbsor_distributed():
     g6 = Grid3D(6, 6, 6)
     dec3b = Decomp3D(g6, mesh1, pressure_solver="auto")
     assert dec3b.pressure_solver == "rbsor"
+
+
+def test_auto_serial_non_coarsenable_falls_back_to_rbsor():
+    """VERDICT r4 bug: serial 'auto' picked mg unconditionally, so a
+    non-coarsenable grid (81^2: odd extents) crashed inside mg_solve.
+    resolve_auto must apply the distributed drivers' documented policy —
+    mg wherever mg_levels >= 2, rbsor otherwise — and the run must
+    actually work."""
+    from tpuvof.solver import resolve_auto
+
+    num = dict(pressure_solver="auto", sor_tol=1e-4, sor_max_iter=50)
+    for nx, ny in ((81, 81), (200, 81)):
+        # square cells (the FCT limiter requirement): Ly tracks ny/nx
+        cfg = tv.SimConfig(grid=tv.Grid2D(nx, ny, Lx=0.1, Ly=0.1 * ny / nx),
+                           num=tv.Numerics(**num))
+        assert resolve_auto(cfg).num.pressure_solver == "rbsor"
+        s0 = tv.init_state(cfg, ic=1)
+        out = tv.simulate(cfg, s0, 2)  # formerly: ValueError from mg_solve
+        assert bool(jnp.all(jnp.isfinite(out.F)))
+
+    # 3-D: 9^3 is odd everywhere -> rbsor, and the run works
+    from tpuvof.grid import Grid3D
+    from tpuvof.solver3d import _resolve_auto_3d, init_state_3d, simulate_3d
+
+    g9 = Grid3D(9, 9, 9)
+    assert _resolve_auto_3d(g9) == "rbsor"
+    s3 = init_state_3d(g9, ic=1)
+    out3 = simulate_3d(g9, s3, 2, pressure_solver="auto",
+                       sor_tol=1e-4, sor_max_iter=50)
+    assert bool(jnp.all(jnp.isfinite(out3.F)))

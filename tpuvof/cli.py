@@ -57,9 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="jacobi = reference-parity fixed sweeps; rbsor = "
                         "residual-driven red-black SOR upgrade; mg = "
                         "residual-driven geometric multigrid (O(1) cycles "
-                        "in grid size; serial runs only); auto = the "
-                        "measured-best upgrade per run mode (mg serial, "
-                        "rbsor distributed)")
+                        "in grid size; serial AND distributed via "
+                        "parallel/mg.py); auto = mg wherever the grid "
+                        "coarsens (all extents even and >= 8), rbsor "
+                        "otherwise — serial and distributed alike")
     p.add_argument("--sor-tol", type=float, default=1e-3, dest="sor_tol",
                    help="absolute residual tolerance for the rbsor/mg "
                         "pressure upgrades (max|Ap-rhs| on the projected "
@@ -581,11 +582,12 @@ def main(argv=None) -> int:
             # the exact step and face — prints at this host sync (the
             # state trajectory is bit-identical to tv.simulate)
             state, cfl = tv.simulate_cfl(cfg, state, n, istep0=istep)
-            if cfl["cfl"] > 0.25:
+            if cfl["violations"]:
                 print(f">>> {cfl['axis'].upper()} velocity courant "
-                      f"number > 1, {cfl['axis']}"
-                      f"[{cfl['i']},{cfl['j']}] peaked at CFL="
-                      f"{cfl['cfl']:.3f} on step {cfl['step']}",
+                      f"number > 1: {cfl['violations']} cell-step "
+                      f"violation(s) since step {cfl['first_step']}; "
+                      f"{cfl['axis']}[{cfl['i']},{cfl['j']}] peaked at "
+                      f"CFL={cfl['cfl']:.3f} on step {cfl['step']}",
                       file=sys.stderr)
         istep += n
 

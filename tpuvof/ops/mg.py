@@ -39,9 +39,11 @@ compatible; the constant component of a coarse correction only shifts p
 by a constant, which pressure is defined up to anyway.
 
 Not differentiable (outer `lax.while_loop`), exactly like 'rbsor'; the
-differentiable path keeps the fixed-iteration solvers. Serial-only:
-`Decomp`/`Decomp3D` reject it (use 'rbsor' there — MG's coarse levels
-would be latency-bound on a mesh anyway).
+differentiable path keeps the fixed-iteration solvers. Distributed runs
+use parallel/mg.py (sharded fine smoothing, replicated coarse tail
+through _make_vcycle below — its serial-parity contract); 'auto'
+resolves to mg wherever the global grid coarsens, serial and
+distributed (solver.resolve_auto, Decomp, Decomp3D).
 """
 from __future__ import annotations
 
@@ -282,9 +284,12 @@ def mg_solve(p, rhs, inv2, tol, max_cycles, nu: int | None = None,
 
     p0 = p[interior]
     r0 = resid(p0)
-    # (r0*0) int counters, not fresh zeros: when this runs REPLICATED
+    # r0-derived int counters, not fresh zeros: when this runs REPLICATED
     # inside shard_map (parallel/mg.py's gathered-fine-problem path) the
-    # it/stall carries must inherit r0's varying manual axes
-    i0 = (r0 * 0.0).astype(jnp.int32)
+    # it/stall carries must inherit r0's varying manual axes. NaN-safe
+    # form (ADVICE r4): r0*0.0 is NaN for an Inf r0 (diverged f32 state)
+    # and NaN->int32 is implementation-defined, which could defeat the
+    # max_cycles cap; (r0 != r0) is a plain bool for every r0.
+    i0 = (r0 != r0).astype(jnp.int32) * 0
     p_int, *_ = jax.lax.while_loop(cond, body, (p0, i0, r0, r0, i0))
     return p.at[interior].set(p_int)

@@ -165,6 +165,15 @@ def _rbsor_3d(g: Grid3D, p, rhs, omega: float, tol: float, max_iter: int,
     return p
 
 
+def _resolve_auto_3d(g: Grid3D) -> str:
+    """pressure_solver='auto', 3-D: 'mg' wherever the grid coarsens,
+    'rbsor' otherwise — the same policy as solver.resolve_auto and the
+    distributed drivers (mg_solve raises on non-coarsenable grids)."""
+    from .ops.mg import mg_levels
+
+    return "mg" if len(mg_levels((g.nx, g.ny, g.nz))) >= 2 else "rbsor"
+
+
 _SWEEP_ORDER = {0: (0, 1, 2), 1: (1, 2, 0), 2: (2, 0, 1)}
 
 
@@ -384,7 +393,7 @@ def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
     zero (3dvof.py:304-332,607); the default False keeps reference
     parity bit-for-bit."""
     if pressure_solver == "auto":
-        pressure_solver = "mg"  # serial: see solver.resolve_auto
+        pressure_solver = _resolve_auto_3d(g)
     if backend == "pallas":
         if pallas3d_supported(g, csf):
             return _step_3d_pallas(g, fl, dt, n_jacobi, state, phase,
@@ -455,7 +464,7 @@ def simulate_3d(g: Grid3D, state: State3D, n_steps: int,
     programs per shape."""
     g.validate()  # cubic cells only (the 3-D FCT scale factors assume it)
     if pressure_solver == "auto":
-        pressure_solver = "mg"  # serial: see solver.resolve_auto
+        pressure_solver = _resolve_auto_3d(g)
     return _simulate_3d_impl(g, state, n_steps, dt, n_jacobi, fl,
                              backend, istep0 % 3, pressure_solver,
                              sor_omega, sor_tol, sor_max_iter, csf,
