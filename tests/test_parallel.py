@@ -215,7 +215,7 @@ def test_forced_engine_with_rbsor_raises():
     cfg = tv.SimConfig(grid=tv.Grid2D(64, 64),
                        num=tv.Numerics(backend="pallas_mono",
                                        pressure_solver="rbsor"))
-    with pytest.raises(ValueError, match="requires the XLA"):
+    with pytest.raises(ValueError, match="HYBRID"):
         Decomp(cfg, make_mesh(2, 2), engine="strips").make_simulate()
 
 
@@ -264,10 +264,11 @@ def test_distributed_rbsor_matches_serial():
             atol=1e-12, err_msg=name)
 
 
-def test_distributed_rbsor_with_pallas_backend_falls_back():
-    """backend='pallas_mono' + rbsor: the windowed kernel implements the
-    fixed Jacobi only, so the engine must fall back to XLA (with a
-    warning), not silently run the wrong solver."""
+def test_distributed_rbsor_with_pallas_backend_runs_hybrid():
+    """backend='pallas_mono' + rbsor: since round 5 this routes to the
+    HYBRID per-shard step (Pallas phase kernels around the distributed
+    solve) — no fallback warning, trajectory matches serial rbsor at
+    f64 (the round-4 behavior was a warn + whole-step XLA fallback)."""
     import warnings
 
     num = tv.Numerics(backend="pallas_mono", pressure_solver="rbsor",
@@ -280,9 +281,9 @@ def test_distributed_rbsor_with_pallas_backend_falls_back():
         cfg.replace(num=tv.Numerics(pressure_solver="rbsor", sor_tol=1e-6,
                                     sor_max_iter=500)), state, 3)
     dec = Decomp(cfg, make_mesh(2, 2))
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
+    assert dec.hybrid_shard_supported()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any fallback warning = failure
         got = dec.simulate(state, 3)
-    assert any("falls back to 'xla'" in str(x.message) for x in w)
     np.testing.assert_allclose(np.asarray(got.F)[1:-1, 1:-1],
                                np.asarray(want.F)[1:-1, 1:-1], atol=1e-12)

@@ -230,12 +230,19 @@ def test_distributed_3d_rbsor_matches_serial():
             err_msg=name)
 
 
-def test_distributed_3d_rbsor_with_pallas_backend_falls_back():
+def test_distributed_3d_rbsor_with_pallas_backend_runs_hybrid():
+    # since round 5 backend='pallas' + an upgraded solver routes to the
+    # HYBRID step (slab kernels around the hosted distributed solve) —
+    # no fallback warning (the round-4 behavior was warn + XLA engine);
+    # trajectory parity is pinned by tests/test_hybrid_dist3d.py
+    import warnings
+
     g = Grid3D(32, 32, 32)
-    with pytest.warns(UserWarning, match="fixed-iteration Jacobi"):
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
         dec = Decomp3D(g, make_mesh_1d(2), backend="pallas",
                        pressure_solver="rbsor")
-    assert dec.backend == "xla"
+    assert dec.backend == "pallas" and dec.hybrid
 
 
 def test_distributed_3d_pencil_pallas_falls_back_when_shards_thin():

@@ -75,7 +75,8 @@ def fits_vmem_2d(n_i: int, n_j: int, fields: int = 24) -> bool:
 WINDOWED_FIELDS = 27
 
 
-def pick_tile_2d(nx: int, ny: int, W: int) -> tuple[int, int] | None:
+def pick_tile_2d(nx: int, ny: int, W: int,
+                 fields: int = WINDOWED_FIELDS) -> tuple[int, int] | None:
     """Tile (Tx, Ty) (dividing the extents) whose W-halo-extended block
     fits the WINDOWED kernel's VMEM envelope — the tiled serial engine
     (solver._step_pallas_tiled) streams the windowed whole-step kernel
@@ -91,11 +92,11 @@ def pick_tile_2d(nx: int, ny: int, W: int) -> tuple[int, int] | None:
     fallback for grids whose full width cannot fit VMEM even at Tx=32."""
     for Tx in (1024, 512, 256, 128, 64, 32):
         if nx % Tx == 0 and fits_vmem_2d(
-                Tx + 2 * W, ny + 2 * W, fields=WINDOWED_FIELDS):
+                Tx + 2 * W, ny + 2 * W, fields=fields):
             return Tx, ny
     for T in (1024, 512, 256, 128, 64):
         if nx % T == 0 and ny % T == 0 and fits_vmem_2d(
-                T + 2 * W, T + 2 * W, fields=WINDOWED_FIELDS):
+                T + 2 * W, T + 2 * W, fields=fields):
             return T, T
     return None
 
@@ -448,6 +449,101 @@ def pallas_predict(cfg: SimConfig, u, v, F, interpret: bool = False):
         compiler_params=_compiler_params(F, 28),
         interpret=interpret,
     )(u, v, F)
+
+
+# ----------------------------------------------------------------------
+# Windowed PHASE kernels: per-shard building blocks of the distributed
+# HYBRID step (parallel/dist._local_step_hybrid). Same phase bodies as
+# the serial hybrid's kernels, with every mask at GLOBAL indices, so the
+# DISTRIBUTED residual-driven pressure solve (rbsor / parallel/mg) can
+# run as XLA between Pallas phases exactly like solver._step_pallas
+# hosts the serial one. PHASE_HALO is each phase's exact L-inf
+# dependency radius: predict reads F through normals->curvature->
+# momentum at distance <= 3; one FCT sweep reads F/vel at axis distance
+# <= 3 through Ftd->limiter->corrected flux (2dvof.py:198-309, 321-448).
+# A block widened by PHASE_HALO neighbor planes beyond its ghost ring
+# therefore yields outputs valid on the own block INCLUDING the ring —
+# the ring values equal what a post-phase exchange would have delivered
+# (the neighbor computes the identical expression on the same operands).
+# ----------------------------------------------------------------------
+PHASE_HALO = 3
+
+
+def _sanitized_win(g: Grid2D, oi, oj, fields):
+    """Zero values outside the GLOBAL ghost-included domain [0, n+2):
+    the widened margins beyond a wall shard are zero-filled by
+    parallel/dist._widen already, but sanitizing at load keeps the phase
+    kernels junk-proof (0*NaN=NaN otherwise) like _win_step_values."""
+    shape = fields[0].shape
+    row = _iota(shape, 0) + oi
+    col = _iota(shape, 1) + oj
+    valid = ((row >= 0) & (row <= g.nx + 1)
+             & (col >= 0) & (col <= g.ny + 1))
+    return [jnp.where(valid, a, 0.0) for a in fields]
+
+
+def _predict_win_kernel(oi_ref, oj_ref, u_ref, v_ref, F_ref,
+                        us_out, vs_out, *, cfg: SimConfig):
+    oi = oi_ref[0, 0]
+    oj = oj_ref[0, 0]
+    u, v, F = _sanitized_win(cfg.grid, oi, oj,
+                             [u_ref[:], v_ref[:], F_ref[:]])
+    us, vs, _ = _predict_body(cfg, u, v, F, oi, oj)
+    us_out[:] = us
+    vs_out[:] = vs
+
+
+def pallas_predict_win(cfg: SimConfig, u, v, F, oi, oj,
+                       interpret: bool = False):
+    """Fused materials+normals+curvature+momentum predictor on a
+    halo-extended block; (oi, oj) are traced global indices of the block
+    origin. Returns full extended (u_star, v_star) — callers keep
+    [W:-W, W:-W] with W = PHASE_HALO."""
+    shape = jax.ShapeDtypeStruct(F.shape, F.dtype)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    oi = jnp.asarray(oi, jnp.int32).reshape(1, 1)
+    oj = jnp.asarray(oj, jnp.int32).reshape(1, 1)
+    return pl.pallas_call(
+        partial(_predict_win_kernel, cfg=cfg),
+        out_shape=(shape, shape),
+        in_specs=[smem, smem] + _vmem_specs(3),
+        out_specs=tuple(_vmem_specs(2)),
+        compiler_params=_compiler_params(F, 28),
+        interpret=interpret,
+    )(oi, oj, u, v, F)
+
+
+def _sweep_win_kernel(oi_ref, oj_ref, F_ref, vel_ref, out_ref, *,
+                      cfg: SimConfig, axis: int):
+    g, nm = cfg.grid, cfg.num
+    oi = oi_ref[0, 0]
+    oj = oj_ref[0, 0]
+    F, vel = _sanitized_win(g, oi, oj, [F_ref[:], vel_ref[:]])
+    if axis == 0:
+        out_ref[:] = _sweep_body(g.dx, g.dy, nm.dt, nm.fct, 0, F, vel,
+                                 n_axis=g.nx, n_other=g.ny,
+                                 off_axis=oi, off_other=oj)
+    else:
+        out_ref[:] = _sweep_body(g.dy, g.dx, nm.dt, nm.fct, 1, F, vel,
+                                 n_axis=g.ny, n_other=g.nx,
+                                 off_axis=oj, off_other=oi)
+
+
+def pallas_fct_sweep_win(cfg: SimConfig, F, vel, axis: int, oi, oj,
+                         interpret: bool = False):
+    """One FCT sweep (axis 0 = x with u, axis 1 = y with v) on a
+    halo-extended block with global-index masks; keep [W:-W, W:-W]."""
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    oi = jnp.asarray(oi, jnp.int32).reshape(1, 1)
+    oj = jnp.asarray(oj, jnp.int32).reshape(1, 1)
+    return pl.pallas_call(
+        partial(_sweep_win_kernel, cfg=cfg, axis=axis),
+        out_shape=jax.ShapeDtypeStruct(F.shape, F.dtype),
+        in_specs=[smem, smem] + _vmem_specs(2),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=_compiler_params(F, 24),
+        interpret=interpret,
+    )(oi, oj, F, vel)
 
 
 # ----------------------------------------------------------------------

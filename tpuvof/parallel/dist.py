@@ -484,6 +484,81 @@ class Decomp:
             self.cfg, *ext, oi, oj, even_step,
             interpret=not pallas_available())
 
+    # ------------------------------------------------------------------
+    # the per-shard HYBRID step: Pallas phase kernels around the
+    # DISTRIBUTED residual-driven pressure solve (VERDICT r4 #1)
+    # ------------------------------------------------------------------
+    def _local_step_hybrid(self, F, u, v, p, even_step: bool):
+        """One step with the upgraded pressure solvers (rbsor /
+        parallel-mg) hosted as XLA BETWEEN per-shard Pallas phase
+        kernels — the sharded counterpart of the serial hybrid
+        (solver._step_pallas), so production-upgrade runs keep kernel
+        speed for predict + both FCT sweeps instead of dropping the
+        whole step to XLA. Each phase ships a PHASE_HALO-plane widened
+        block (the phase's exact L-inf cone, _widen's two-stage corner
+        staging) and keeps the [W:-W] center, whose ghost ring carries
+        exactly the values a post-phase exchange would have delivered
+        (in-cone compute = the neighbor's identical expression on the
+        same operands). The solve itself is the documented trade: its
+        while_loop cannot live in a VMEM-resident kernel."""
+        from ..pallas_kernels import pallas_available
+        from ..pallas_kernels.step_kernels import (
+            PHASE_HALO as W, pallas_fct_sweep_win, pallas_predict_win)
+
+        cfg = self.cfg
+        gl, nm = self.gl, cfg.num
+        h = self.halo
+        interp = not pallas_available()
+        oi = h.xi() * self.nxl - W
+        oj = h.yi() * self.nyl - W
+        ctr = slice(W, -W)
+
+        us_e, vs_e = pallas_predict_win(
+            cfg, *(self._widen(x, W) for x in (u, v, F)), oi, oj,
+            interpret=interp)
+        u_star = us_e[ctr, ctr]
+        v_star = vs_e[ctr, ctr]
+
+        rho, _ = mix_properties(cfg.fluid, F)
+        u, v, F, p, rho = self._bc(u, v, F, p, rho)
+        p = self._solve_pressure(p, u_star, v_star, rho)
+
+        uc, vc = correct_velocity_interior(gl, nm, u_star, v_star, p, rho)
+        shape_int = (self.nxl, self.nyl)
+        uc = jnp.where(h.is_left() & _col_mask(shape_int, 0, 0), 0.0, uc)
+        vc = jnp.where(h.is_bottom() & _col_mask(shape_int, 1, 0), 0.0, vc)
+        u = u.at[1:-1, 1:-1].set(uc)
+        v = v.at[1:-1, 1:-1].set(vc)
+        u, v, F, p, rho = self._bc(u, v, F, p, rho)
+
+        def sweep(F, vel, axis):
+            return pallas_fct_sweep_win(
+                cfg, self._widen(F, W), self._widen(vel, W), axis,
+                oi, oj, interpret=interp)[ctr, ctr]
+
+        if even_step:
+            F = sweep(F, v, 1)
+            F = sweep(F, u, 0)
+        else:
+            F = sweep(F, u, 0)
+            F = sweep(F, v, 1)
+        F = clamp01(F)
+        u, v, F, p, rho = self._bc(u, v, F, p, rho)
+        return F, u, v, p
+
+    def hybrid_shard_supported(self) -> bool:
+        """Whether the hybrid phase kernels apply: each PHASE_HALO widen
+        must come from ONE neighbor's owned planes (local blocks >= W+1
+        per sharded axis) and the widened block must fit the VMEM
+        envelope at the predict kernel's ~28-field footprint."""
+        from ..pallas_kernels.step_kernels import PHASE_HALO, fits_vmem_2d
+
+        W = PHASE_HALO
+        if ((self.px > 1 and self.nxl < W + 1)
+                or (self.py > 1 and self.nyl < W + 1)):
+            return False
+        return fits_vmem_2d(self.nxl + 2 * W, self.nyl + 2 * W, fields=28)
+
     def _shard_halo_ok(self) -> bool:
         """Each (W+1)-band halo refresh must come from ONE neighbor's owned
         cells: local blocks >= W+1 per sharded axis."""
@@ -676,24 +751,35 @@ class Decomp:
         # the engine= kwarg is the hard force (raises)
         prefer = {"pallas_tiled": "tiled",
                   "pallas_strips": "strips"}.get(self.cfg.num.backend)
+        use_hybrid = False
         if use_pallas and self.cfg.num.pressure_solver != "jacobi":
             if self._engine is not None:
                 # engine= is the documented hard force — honor the
                 # contract by raising instead of silently measuring the
-                # XLA step under a forced-engine label
+                # hybrid (phase-kernel) step under a forced-engine label
                 raise ValueError(
                     f"engine={self._engine!r} forced but pressure_solver="
-                    f"{self.cfg.num.pressure_solver!r} requires the XLA "
-                    "per-shard engine (the windowed kernel implements the "
-                    "fixed-iteration Jacobi)")
-            import warnings
+                    f"{self.cfg.num.pressure_solver!r} runs the HYBRID "
+                    "per-shard step (Pallas phase kernels around the "
+                    "distributed solve), not a whole-step engine (those "
+                    "implement the fixed-iteration Jacobi)")
+            if self.hybrid_shard_supported():
+                # the distributed HYBRID step (VERDICT r4 #1): only the
+                # projection solve is hosted as XLA, the predict + FCT
+                # phases stay Pallas
+                use_hybrid = True
+            else:
+                import warnings
 
-            warnings.warn(
-                f"pressure_solver={self.cfg.num.pressure_solver!r} needs "
-                "the XLA per-shard engine (the windowed kernel implements "
-                "the fixed-iteration Jacobi, and its dependency cone is "
-                "sized for it); backend falls back to 'xla'")
-            use_pallas = False
+                warnings.warn(
+                    f"pressure_solver={self.cfg.num.pressure_solver!r}: "
+                    "the hybrid phase kernels need local blocks >= "
+                    "PHASE_HALO+1 per sharded axis and a widened block "
+                    "inside the VMEM envelope; backend falls back to "
+                    "'xla'")
+            use_pallas = False  # the resident widened layout below is
+            # the whole-step engines' — the hybrid runs on the ghost-ring
+            # blocks like the XLA step
         use_tiled = False
         use_strips = False
         if use_pallas and self._engine == "strips":
@@ -768,7 +854,9 @@ class Decomp:
                     f"per-shard windowed kernel unavailable: {why}; using "
                     "the XLA per-shard step")
                 use_pallas = False
-        if not use_pallas:
+        if use_hybrid:
+            local = self._local_step_hybrid
+        elif not use_pallas:
             local = self._local_step
         elif use_strips:
             local = self._local_step_pallas_strips

@@ -234,15 +234,14 @@ class Decomp3D:
         # fuses them into the slab predict kernel (csf=True widens the
         # admission cone W/Wy by 2 — see pallas_admission_3d)
         self.csf = bool(csf)
-        if backend == "pallas" and pressure_solver != "jacobi":
-            import warnings
-
-            warnings.warn(
-                f"pressure_solver={pressure_solver!r} needs the XLA "
-                "per-shard engine (the slab kernels implement the "
-                "fixed-iteration Jacobi, and their dependency cone is "
-                "sized for it); backend falls back to 'xla'")
-            backend = "xla"
+        # residual-driven solvers + backend='pallas' run the HYBRID step
+        # (VERDICT r4 #1): the slab predict/correct/FCT kernels on a
+        # resident block whose cone is sized WITHOUT the Jacobi erosion
+        # (the hosted distributed solve re-validates p globally), with
+        # the rbsor/parallel-mg solve as XLA between the kernel phases —
+        # the sharded counterpart of solver3d._step_3d_pallas_padded's
+        # rbsor/mg branch.
+        self.hybrid = backend == "pallas" and pressure_solver != "jacobi"
         self.backend = backend
         # pencil mode: the slab kernels with GLOBAL j masks on a
         # y-extended resident block (required for py > 1 with pallas;
@@ -258,9 +257,12 @@ class Decomp3D:
         self.Wy = 0
         self.nyE = self.nyl
         if backend == "pallas":
-            adm = pallas_admission_3d(g, self.px, self.py, n_jacobi,
-                                      halo_width, pencil=self.pencil,
-                                      csf=self.csf)
+            # the hybrid's cone is sized WITHOUT the Jacobi erosion: the
+            # hosted distributed solve re-validates p globally between
+            # the predict and correct kernel phases
+            adm = pallas_admission_3d(
+                g, self.px, self.py, 0 if self.hybrid else n_jacobi,
+                halo_width, pencil=self.pencil, csf=self.csf)
             self.W, self.nloc = adm["W"], adm["nloc"]
             self.Wy, self.nyE = adm["Wy"], adm["nyE"]
             if not adm["ok"]:
@@ -271,6 +273,7 @@ class Decomp3D:
                               " / `tpuvof --plan-mesh N --three-d` ranks "
                               "the admissible mesh shapes)")
                 self.backend = "xla"
+                self.hybrid = False
                 self.pencil = False
                 self.Wy = 0
                 self.nyE = self.nyl
@@ -419,14 +422,20 @@ class Decomp3D:
             + (vs[1:-1, 2:, 1:-1] - vs[I]) * g.dyi
             + (ws[1:-1, 1:-1, 2:] - ws[I]) * g.dzi
         )
+        return rhs, self._poisson_coeffs(p.dtype)
+
+    def _poisson_coeffs(self, dtype):
+        """The 7-point coefficients alone — the hybrid step reuses them
+        against the rhs the slab predict kernel already computed."""
+        g = self.g
         shape = (self.nxl, self.nyl, g.nz)
-        dxi2 = jnp.asarray(np.float64(g.dxi) ** 2, p.dtype)
-        dyi2 = jnp.asarray(np.float64(g.dyi) ** 2, p.dtype)
-        dzi2 = jnp.asarray(np.float64(g.dzi) ** 2, p.dtype)
+        dxi2 = jnp.asarray(np.float64(g.dxi) ** 2, dtype)
+        dyi2 = jnp.asarray(np.float64(g.dyi) ** 2, dtype)
+        dzi2 = jnp.asarray(np.float64(g.dzi) ** 2, dtype)
         li = lax.broadcasted_iota(jnp.int32, shape, 0)
         lj = lax.broadcasted_iota(jnp.int32, shape, 1)
         lk = lax.broadcasted_iota(jnp.int32, shape, 2)
-        zero = jnp.zeros((), p.dtype)
+        zero = jnp.zeros((), dtype)
         ae = jnp.where(self._is_right() & (li == self.nxl - 1), zero, dxi2)
         aw = jnp.where(self._is_left() & (li == 0), zero, dxi2)
         an = jnp.where(self._is_top() & (lj == self.nyl - 1), zero, dyi2)
@@ -434,7 +443,7 @@ class Decomp3D:
         af = jnp.where(lk == g.nz - 1, zero, dzi2)
         ab = jnp.where(lk == 0, zero, dzi2)
         ap_inv = -1.0 / (ae + aw + an + a_s + ab + af)
-        return rhs, (ae, aw, an, a_s, af, ab, ap_inv)
+        return (ae, aw, an, a_s, af, ab, ap_inv)
 
     @staticmethod
     def _neigh(p, rhs, coeffs):
@@ -449,22 +458,30 @@ class Decomp3D:
             - ab * p[1:-1, 1:-1, :-2]
         )
 
+    def _solve_upgraded(self, p, rhs):
+        """Dispatch the residual-driven solvers (rbsor / parallel-mg) on
+        ring-layout (p, rhs) — shared by the XLA step (which computes rhs
+        via _poisson_local) and the HYBRID step (which slices the rhs the
+        slab predict kernel already fused)."""
+        if self.pressure_solver == "rbsor":
+            return self._solve_pressure_rbsor(
+                p, rhs, self._poisson_coeffs(p.dtype))
+        from .mg import MGDecomp, mg_solve_dist
+
+        g = self.g
+        spec = MGDecomp(
+            axis_names=(self.ax if self.px > 1 else None,
+                        self.ay if self.py > 1 else None, None),
+            shards=(self.px, self.py, 1))
+        return mg_solve_dist(spec, p, rhs,
+                             (g.dxi**2, g.dyi**2, g.dzi**2),
+                             self.sor_tol, self.sor_max_iter,
+                             tol_rel=self.sor_tol_rel)
+
     def _solve_pressure(self, p, us, vs, ws, rho):
         rhs, coeffs = self._poisson_local(p, us, vs, ws, rho)
-        if self.pressure_solver == "rbsor":
-            return self._solve_pressure_rbsor(p, rhs, coeffs)
-        if self.pressure_solver == "mg":
-            from .mg import MGDecomp, mg_solve_dist
-
-            g = self.g
-            spec = MGDecomp(
-                axis_names=(self.ax if self.px > 1 else None,
-                            self.ay if self.py > 1 else None, None),
-                shards=(self.px, self.py, 1))
-            return mg_solve_dist(spec, p, rhs,
-                                 (g.dxi**2, g.dyi**2, g.dzi**2),
-                                 self.sor_tol, self.sor_max_iter,
-                                 tol_rel=self.sor_tol_rel)
+        if self.pressure_solver in ("rbsor", "mg"):
+            return self._solve_upgraded(p, rhs)
         I = (slice(1, -1),) * 3
         ap_inv = coeffs[-1]
 
@@ -742,6 +759,74 @@ class Decomp3D:
             jnp.where(self._is_right(), Fo[W + nxl], Fo[W + nxl + 1]))
         return Fo, uo, vo, wo, pj
 
+    def _local_step_hybrid(self, F, u, v, w, p, phase: int):
+        """The distributed HYBRID step (VERDICT r4 #1): `_local_step_pallas`
+        with the resident Jacobi kernel swapped for the DISTRIBUTED
+        residual-driven solve (rbsor / parallel-mg) hosted as XLA between
+        the slab kernel phases — the sharded counterpart of the serial
+        hybrid (solver3d._step_3d_pallas_padded's rbsor/mg branch), so
+        production-upgrade runs keep kernel speed for predict + correct +
+        all three FCT sweeps.
+
+        Layout: the same resident extended block, with W sized WITHOUT
+        the Jacobi erosion (pallas_admission_3d at n_jacobi=0: rhs is
+        invalid at the outermost computed plane, correct erodes 1 more,
+        the in-axis FCT sweep 3 — W=4, +2 with csf). The solve runs on
+        the ring-layout views (owned planes + block ghosts) sliced from
+        the extended block; the solved p is re-embedded (pads + beyond-
+        ring planes zeroed — p persists, and the pencil pad rows must
+        stay zero) and ONE extra halo refresh re-validates its halo
+        planes from the neighbors' owned planes, so the correct kernel
+        reads globally-valid p across the whole block exactly as it read
+        the resident Jacobi's output."""
+        import jax as _jax
+
+        from ..pallas_kernels.step3d import (
+            pallas_correct3d,
+            pallas_fct3d_sweep,
+            pallas_predict3d_rhs,
+        )
+
+        interpret = _jax.default_backend() == "cpu"
+        g, W, nloc, nxl = self.g, self.W, self.nloc, self.nxl
+        Wy, nyl = self.Wy, self.nyl
+        gi_base = self._xi() * nxl - W
+        kw = {}
+        if self.pencil:
+            kw = dict(njl=self.nyE, gj_base=self._yi() * nyl - Wy)
+
+        Fx, ux, vx, wx, pxx = (self._refresh_halo(a)
+                               for a in (F, u, v, w, p))
+        us, vs, ws, rhs = pallas_predict3d_rhs(
+            g, self.fl, self.dt, ux, vx, wx, Fx,
+            interpret=interpret, nloc=nloc, gi_base=gi_base,
+            csf=self.csf, **kw)
+        # ring-layout views: owned planes + the block ghosts (block index
+        # W / W+nxl+1 hold the neighbor's owned boundary plane — exactly
+        # the exchanged ghost the XLA step's solve reads)
+        sx = slice(W, W + nxl + 2)
+        sy = slice(Wy, Wy + nyl + 2)
+        nz2 = g.nz + 2
+        p_sol = self._solve_upgraded(
+            pxx[sx, sy, :nz2],
+            rhs[W + 1: W + nxl + 1, Wy + 1: Wy + nyl + 1, 1: g.nz + 1])
+        pj = jnp.zeros_like(pxx).at[sx, sy, :nz2].set(p_sol)
+        pj = self._refresh_halo(pj)
+        uo, vo, wo = pallas_correct3d(
+            g, self.fl, self.dt, us, vs, ws, pj, Fx,
+            interpret=interpret, nloc=nloc, gi_base=gi_base, **kw)
+        vels = (uo, vo, wo)
+        Fo = Fx
+        for idx, axn in enumerate(_SWEEP_ORDER3[phase]):
+            Fo = pallas_fct3d_sweep(
+                g, self.dt, Fo, vels[axn], axn, interpret=interpret,
+                mirror_out=(idx == 2), nloc=nloc, gi_base=gi_base, **kw)
+        Fo = Fo.at[W].set(
+            jnp.where(self._is_left(), Fo[W + 1], Fo[W]))
+        Fo = Fo.at[W + nxl + 1].set(
+            jnp.where(self._is_right(), Fo[W + nxl], Fo[W + nxl + 1]))
+        return Fo, uo, vo, wo, pj
+
     # ---- host-side layout conversion ----
     def _spec(self):
         return P(self.ax) if self.ay is None else P(self.ax, self.ay)
@@ -820,7 +905,8 @@ class Decomp3D:
                         for a in (F, u, v, w, p))
                     F, u, v, w, p = (
                         self._widen_W(a) for a in (F, u, v, w, p))
-                    step = self._local_step_pallas
+                    step = (self._local_step_hybrid if self.hybrid
+                            else self._local_step_pallas)
                 else:
                     step = self._local_step
 

@@ -97,6 +97,8 @@ def step(cfg: SimConfig, state: State, even_step: bool, lean: bool = False) -> S
         _warn_vmem_fallback(cfg)
     elif eff == "pallas":
         return _step_pallas(cfg, state, even_step, lean=lean)
+    elif eff == "pallas_hybrid_tiled":
+        return _step_pallas_hybrid_tiled(cfg, state, even_step, lean=lean)
     elif eff == "pallas_tiled":
         if not lean:
             # same entry-BC contract as the mono path below
@@ -167,8 +169,8 @@ def _warn_vmem_fallback(cfg: SimConfig) -> None:
     if cfg.num.pressure_solver != "jacobi":
         why = (f"the hybrid Pallas-phase step (pressure_solver="
                f"{cfg.num.pressure_solver!r} hosted as XLA between the "
-               "phase kernels) needs the whole-field working set in VMEM "
-               "(grids up to ~1024^2 f32)")
+               "phase kernels) found no tile layout dividing the grid "
+               "whose PHASE_HALO-extended block fits VMEM")
     else:
         why = ("the fused kernels' whole-field working set exceeds the "
                "v5e VMEM envelope (~24 padded fields <= 124 MB, i.e. "
@@ -196,13 +198,18 @@ def effective_backend(cfg: SimConfig) -> str:
     XLA solve hosted between them (`_step_pallas`) — the whole-step
     kernels implement the fixed-iteration Jacobi only, so only the
     projection phase downgrades to XLA, not the entire step (VERDICT r3
-    #3). Above the phase kernels' whole-field VMEM envelope the step
-    falls back to the XLA path."""
+    #3). Above the phase kernels' whole-field VMEM envelope each phase
+    streams tile-by-tile through its windowed kernel at PHASE_HALO
+    (`_step_pallas_hybrid_tiled`, VERDICT r4 #3); only grids no tile
+    layout divides fall back to the XLA path."""
     if cfg.num.backend not in ("pallas", "pallas_mono", "pallas_tiled",
                                "pallas_strips"):
         return cfg.num.backend
     if cfg.num.pressure_solver != "jacobi":
-        return "pallas" if _fits_vmem(cfg) else "xla"
+        if _fits_vmem(cfg):
+            return "pallas"
+        return ("pallas_hybrid_tiled" if _hybrid_tile(cfg) is not None
+                else "xla")
     if cfg.num.backend == "pallas_tiled":
         return "pallas_tiled" if _tile_2d(cfg) is not None else "xla"
     if cfg.num.backend == "pallas_strips":
@@ -221,6 +228,15 @@ def _tile_2d(cfg: SimConfig) -> tuple[int, int] | None:
     from .pallas_kernels.step_kernels import pick_tile_2d, step_halo_width
 
     return pick_tile_2d(cfg.grid.nx, cfg.grid.ny, step_halo_width(cfg))
+
+
+def _hybrid_tile(cfg: SimConfig) -> tuple[int, int] | None:
+    """Tile layout for the beyond-VMEM hybrid phases: the halo is the
+    PHASE cone (3), not the whole step's n_jacobi-sized one, and the
+    budget is the predict phase's 28-field footprint."""
+    from .pallas_kernels.step_kernels import PHASE_HALO, pick_tile_2d
+
+    return pick_tile_2d(cfg.grid.nx, cfg.grid.ny, PHASE_HALO, fields=28)
 
 
 def _strips_layout(cfg: SimConfig):
@@ -283,6 +299,97 @@ def _step_pallas(cfg: SimConfig, state: State, even_step: bool,
     else:
         F = pallas_fct_sweep_x(cfg, F, u, interpret=interpret)
         F = pallas_fct_sweep_y(cfg, F, v, interpret=interpret)
+    F = clamp01(F)
+    u, v, F, p = apply_bc(u, v, F, p)
+    return State(F=F, u=u, v=v, p=p)
+
+
+def _step_pallas_hybrid_tiled(cfg: SimConfig, state: State, even_step: bool,
+                              tile: int | tuple[int, int] | None = None,
+                              interpret: bool | None = None,
+                              lean: bool = False) -> State:
+    """The HYBRID step beyond the phase kernels' whole-field VMEM
+    envelope (VERDICT r4 #3): each Pallas phase — predict and the single
+    FCT sweeps — streamed tile-by-tile through its windowed kernel
+    (pallas_predict_win / pallas_fct_sweep_win) at the phase's own halo
+    (PHASE_HALO = 3, not the whole step's n_jacobi-sized cone), with the
+    residual-driven solve + correction hosted as XLA between the phases
+    exactly like `_step_pallas` inside the envelope. Same validity-cone
+    slicing as `_step_pallas_tiled`: each tile ships a W-extended block
+    from the CURRENT field, keeps the (T+2)-wide ghost-included center
+    (adjacent tiles overlap by two identical fully-valid rows), and all
+    tiles run under one `lax.fori_loop` per phase — one compiled kernel
+    per phase serves every tile (oi/oj are SMEM scalars)."""
+    from .pallas_kernels import pallas_available
+    from .pallas_kernels.step_kernels import (
+        PHASE_HALO,
+        pallas_fct_sweep_win,
+        pallas_predict_win,
+    )
+
+    if interpret is None:
+        interpret = not pallas_available()
+    g, nm = cfg.grid, cfg.num
+    W = PHASE_HALO
+    T = tile if tile is not None else _hybrid_tile(cfg)
+    if isinstance(T, int):
+        T = (T, T)
+    if T is None or g.nx % T[0] or g.ny % T[1]:
+        raise ValueError(
+            f"no valid hybrid-phase tile for {g.nx}x{g.ny} (tile={tile}); "
+            f"tiles must divide the grid and fit VMEM with a 2x{W} halo")
+    Tx, Ty = T
+    ntx, nty = g.nx // Tx, g.ny // Ty
+    Ex, Ey = Tx + 2 * W + 2, Ty + 2 * W + 2
+    F, u, v, p = state
+
+    def tiled(fields, call, n_out):
+        padded = [jnp.pad(a, W) for a in fields]
+
+        def body(t, carry):
+            ti = t // nty
+            tj = t - ti * nty
+            r0 = ti * Tx
+            c0 = tj * Ty
+            blocks = [jax.lax.dynamic_slice(a, (r0, c0), (Ex, Ey))
+                      for a in padded]
+            out = call(blocks, r0 - W, c0 - W)
+            kept = [o[W:W + Tx + 2, W:W + Ty + 2] for o in out]
+            return tuple(
+                jax.lax.dynamic_update_slice(acc, k, (r0, c0))
+                for acc, k in zip(carry, kept))
+
+        init = tuple(jnp.zeros_like(fields[0]) for _ in range(n_out))
+        return jax.lax.fori_loop(0, ntx * nty, body, init)
+
+    u_star, v_star = tiled(
+        (u, v, F),
+        lambda b, oi, oj: pallas_predict_win(cfg, *b, oi, oj,
+                                             interpret=interpret),
+        2)
+    if not lean:
+        u, v, F, p = apply_bc(u, v, F, p)
+
+    rho, _ = mix_properties(cfg.fluid, F)
+    p = solve_pressure(g, nm, p, u_star, v_star, rho)
+    u, v = update_velocity(g, nm, u, v, u_star, v_star, p, rho)
+    if not lean:
+        u, v, F, p = apply_bc(u, v, F, p)
+
+    def sweep(F, vel, axis):
+        (out,) = tiled(
+            (F, vel),
+            lambda b, oi, oj: (pallas_fct_sweep_win(
+                cfg, b[0], b[1], axis, oi, oj, interpret=interpret),),
+            1)
+        return out
+
+    if even_step:
+        F = sweep(F, v, 1)
+        F = sweep(F, u, 0)
+    else:
+        F = sweep(F, u, 0)
+        F = sweep(F, v, 1)
     F = clamp01(F)
     u, v, F, p = apply_bc(u, v, F, p)
     return State(F=F, u=u, v=v, p=p)
