@@ -55,6 +55,12 @@ def pytest_configure(config):
 _SLOW = {
     "test_graft.py::test_dryrun_multichip_8",
     "test_graft.py::test_dryrun_multichip_odd",
+    # implicit-adjoint heavies (round 5, measured 42 s / 31 s solo): the
+    # fast set keeps the mechanism pins (direct FD + the 10^2 rollout FD
+    # for both solvers); the 999-step bound and the 80^2 anchor are
+    # horizon/size redundancy
+    "test_diff_implicit.py::test_diff_mg_grads_bounded_999_steps",
+    "test_diff_implicit.py::test_diff_mg_grad_at_80",
     # distributed mg (test_mg_dist.py, measured 45-150 s contended): the
     # fast set keeps the (2,4) 2-D solve at all three crossover regimes,
     # one 3-D solve, the 2-D full-step pin, and the raise test — the

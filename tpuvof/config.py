@@ -91,18 +91,20 @@ class Numerics:
     # only; the differentiable path stays on 'xla').
     backend: str = "xla"
     # 'jacobi' = the reference's fixed-iteration sweep; 'rbsor' = red-black
-    # SOR iterated to an on-device residual tolerance (upgrade path; not
-    # differentiable); 'mg' = residual-driven geometric-multigrid V-cycles
-    # (ops/mg.py — O(1) cycles in grid size where rbsor needs O(n) sweeps;
-    # serial runs only, also not differentiable); 'auto' = the measured-
-    # best residual-driven solver for the run mode — mg in serial runs,
-    # rbsor in distributed ones, where mg's coarse levels would be
-    # latency-bound (resolution sites: solver.resolve_auto, solver3d,
+    # SOR iterated to an on-device residual tolerance; 'mg' = residual-
+    # driven geometric-multigrid V-cycles (ops/mg.py — O(1) cycles in grid
+    # size where rbsor needs O(n) sweeps; serial AND distributed via
+    # parallel/mg.py); 'auto' = mg wherever the global grid coarsens (all
+    # extents even and >= 8), rbsor otherwise — serial and distributed
+    # alike (resolution sites: solver.resolve_auto, solver3d,
     # Decomp/Decomp3D; measurements: BASELINE.md "Upgraded pressure
-    # solvers on the chip"). sor_tol/sor_max_iter govern both
-    # residual-driven solvers (max_iter counts V-cycles under 'mg');
-    # sor_omega is rbsor-only (the MG smoother is plain red-black
-    # Gauss-Seidel).
+    # solvers on the chip"). Under pressure_adjoint='selfadjoint' both
+    # residual-driven solvers are differentiable via the implicit-
+    # function adjoint (ops/mg.mg_solve_implicit, ops/poisson.
+    # _rbsor_implicit); 'unrolled' supports 'jacobi' only.
+    # sor_tol/sor_max_iter govern both residual-driven solvers (max_iter
+    # counts V-cycles under 'mg'); sor_omega is rbsor-only (the MG
+    # smoother is plain red-black Gauss-Seidel).
     pressure_solver: str = "jacobi"
     sor_omega: float = 1.7
     sor_tol: float = 1e-3

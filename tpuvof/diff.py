@@ -72,7 +72,11 @@ class DiffOptions:
     remat: bool = True  # checkpoint each step in the scan
 
 
-def diff_config(n: int = 80, n_jacobi: int = 10, adjoint: str = "selfadjoint") -> SimConfig:
+def diff_config(n: int = 80, n_jacobi: int = 10,
+                adjoint: str = "selfadjoint",
+                pressure_solver: str = "jacobi", sor_tol: float = 1e-3,
+                sor_max_iter: int = 200,
+                sor_tol_rel: float = 0.0) -> SimConfig:
     """The differentiable workload config (diff_vof.py:19-39): 80x80,
     gy = -1000, diff FCT variant.
 
@@ -84,12 +88,27 @@ def diff_config(n: int = 80, n_jacobi: int = 10, adjoint: str = "selfadjoint") -
     4 -> 3e2 -> 1e9 -> 3e20 -> inf at 10/50/100/200/400 steps), freezing
     the gated SGD. The hand-written adjoint stays bounded (~4) at every
     horizon on both backends. 'unrolled' remains available for exact
-    finite-difference gradient checks on CPU."""
+    finite-difference gradient checks on CPU.
+
+    pressure_solver upgrades the projection inside the differentiable
+    step too (VERDICT r4 #4): under 'selfadjoint', 'rbsor'/'mg' run the
+    implicit-function adjoint — one more CONVERGED solve on the projected
+    cotangent (ops/mg.mg_solve_implicit) — so the production converged
+    projection is usable under jax.grad; 'unrolled' supports 'jacobi'
+    only (the residual while_loops cannot unroll)."""
+    if pressure_solver != "jacobi" and adjoint != "selfadjoint":
+        raise ValueError(
+            f"pressure_solver={pressure_solver!r} is differentiable only "
+            "under pressure_adjoint='selfadjoint' (the implicit-function "
+            "adjoint); 'unrolled' cannot differentiate a while_loop")
     return SimConfig(
         grid=Grid2D(n, n),
         fluid=Fluid(gy=-1000.0),
         num=Numerics(
-            dt=4e-6, n_jacobi=n_jacobi, fct=FCT_DIFF, pressure_adjoint=adjoint
+            dt=4e-6, n_jacobi=n_jacobi, fct=FCT_DIFF,
+            pressure_adjoint=adjoint, pressure_solver=pressure_solver,
+            sor_tol=sor_tol, sor_max_iter=sor_max_iter,
+            sor_tol_rel=sor_tol_rel,
         ),
     )
 

@@ -38,8 +38,11 @@ restriction keeps residuals mean-free, so each coarse problem stays
 compatible; the constant component of a coarse correction only shifts p
 by a constant, which pressure is defined up to anyway.
 
-Not differentiable (outer `lax.while_loop`), exactly like 'rbsor'; the
-differentiable path keeps the fixed-iteration solvers. Distributed runs
+Differentiable through `mg_solve_implicit` (implicit-function
+custom_vjp: the adjoint is ONE more mg solve on the projected cotangent
+— A is symmetric; see the block above it); plain `mg_solve`'s outer
+`lax.while_loop` is not unrollable, so pressure_adjoint='unrolled'
+still requires the fixed-iteration solvers. Distributed runs
 use parallel/mg.py (sharded fine smoothing, replicated coarse tail
 through _make_vcycle below — its serial-parity contract); 'auto'
 resolves to mg wherever the global grid coarsens, serial and
@@ -51,7 +54,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["mg_solve", "mg_levels"]
+__all__ = ["mg_solve", "mg_solve_implicit", "mg_levels"]
 
 
 def mg_levels(shape) -> list[tuple[int, ...]]:
@@ -293,3 +296,62 @@ def mg_solve(p, rhs, inv2, tol, max_cycles, nu: int | None = None,
     i0 = (r0 != r0).astype(jnp.int32) * 0
     p_int, *_ = jax.lax.while_loop(cond, body, (p0, i0, r0, r0, i0))
     return p.at[interior].set(p_int)
+
+
+# ----------------------------------------------------------------------
+# Differentiable converged projection (VERDICT r4 #4): implicit-function
+# custom_vjp. At convergence p solves A p = P rhs (P = mean projection,
+# pressure defined up to a constant), so by the implicit function theorem
+# d p = A^+ P d rhs and, with A symmetric (the edge-zeroed pure-Neumann
+# operator: row i's coupling to j equals row j's to i by construction),
+#   rhs_bar = P A^+ p_bar — i.e. ONE MORE mg solve on the projected
+# cotangent, exactly the pattern of the reference's hand-written Jacobi
+# adjoint (diff_vof_replaced.py:303-330) upgraded from "same truncated
+# iteration" to "same converged solver". Nothing is saved between fwd
+# and bwd; the warm-start p carries no gradient (a converged solve does
+# not depend on its initial guess beyond the nullspace constant, which
+# the projection kills), matching _jacobi_selfadjoint's contract.
+# ----------------------------------------------------------------------
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _mg_implicit(inv2, tol, max_cycles, nu, coarse_iters, tol_rel, p, rhs):
+    return mg_solve(p, rhs, inv2, tol, max_cycles, nu=nu,
+                    coarse_iters=coarse_iters, tol_rel=tol_rel)
+
+
+def _mg_implicit_fwd(inv2, tol, max_cycles, nu, coarse_iters, tol_rel,
+                     p, rhs):
+    return _mg_implicit(inv2, tol, max_cycles, nu, coarse_iters, tol_rel,
+                        p, rhs), None
+
+
+def _mg_implicit_bwd(inv2, tol, max_cycles, nu, coarse_iters, tol_rel,
+                     _res, g_out):
+    interior = (slice(1, -1),) * g_out.ndim
+    gbar = g_out[interior]
+    # the solve's output is defined up to a constant the downstream
+    # pressure gradient never sees; project the cotangent so the adjoint
+    # system is compatible (mg_solve projects again internally — this
+    # keeps the tol_rel scale equal to the cotangent's solvable part)
+    gbar = gbar - jnp.mean(gbar)
+    y = mg_solve(jnp.zeros_like(g_out), gbar, inv2, tol, max_cycles,
+                 nu=nu, coarse_iters=coarse_iters, tol_rel=tol_rel)
+    y = y[interior]
+    return jnp.zeros_like(g_out), y - jnp.mean(y)
+
+
+_mg_implicit.defvjp(_mg_implicit_fwd, _mg_implicit_bwd)
+
+
+def mg_solve_implicit(p, rhs, inv2, tol, max_cycles, nu: int | None = None,
+                      coarse_iters: int = 50, tol_rel: float = 0.0):
+    """`mg_solve` with the implicit-function adjoint: differentiable
+    under `jax.grad` (the production 'mg' + pressure_adjoint=
+    'selfadjoint' path; ops.poisson.solve_pressure routes here). The
+    primal computation is mg_solve itself — identical programs, identical
+    values."""
+    return _mg_implicit(tuple(float(c) for c in inv2), float(tol),
+                        int(max_cycles), nu, int(coarse_iters),
+                        float(tol_rel), p, rhs)

@@ -146,15 +146,25 @@ _jacobi_selfadjoint.defvjp(_jacobi_sa_fwd, _jacobi_sa_bwd)
 
 
 def solve_pressure(g: Grid2D, nm: Numerics, p, u_star, v_star, rho):
-    """Full pressure solve: rhs assembly + the configured iteration."""
-    rhs = divergence_rhs(g, nm, u_star, v_star, rho)
-    if nm.pressure_solver == "rbsor":
-        return _rbsor(g, nm, p, rhs)
-    if nm.pressure_solver == "mg":
-        from .mg import mg_solve
+    """Full pressure solve: rhs assembly + the configured iteration.
 
-        return mg_solve(p, rhs, (g.dxi**2, g.dyi**2), nm.sor_tol,
-                        nm.sor_max_iter, tol_rel=nm.sor_tol_rel)
+    With pressure_adjoint='selfadjoint' every rung of the ladder is
+    differentiable: the truncated Jacobi through the reference-pattern
+    adjoint (_jacobi_selfadjoint), the converged rbsor/mg through the
+    implicit-function adjoint (one more converged solve on the projected
+    cotangent — VERDICT r4 #4). 'unrolled' differentiates through the
+    Jacobi iterations only; the residual-driven while_loops cannot
+    unroll."""
+    rhs = divergence_rhs(g, nm, u_star, v_star, rho)
+    sa = nm.pressure_adjoint == "selfadjoint"
+    if nm.pressure_solver == "rbsor":
+        return _rbsor_implicit(g, nm, p, rhs) if sa else _rbsor(g, nm, p, rhs)
+    if nm.pressure_solver == "mg":
+        from .mg import mg_solve, mg_solve_implicit
+
+        fn = mg_solve_implicit if sa else mg_solve
+        return fn(p, rhs, (g.dxi**2, g.dyi**2), nm.sor_tol,
+                  nm.sor_max_iter, tol_rel=nm.sor_tol_rel)
     if nm.pressure_solver != "jacobi":
         raise ValueError(
             f"unknown pressure_solver {nm.pressure_solver!r} "
@@ -281,3 +291,26 @@ def _rbsor(g: Grid2D, nm: Numerics, p, rhs):
     r0 = residual(g, p, rhs)
     p, *_ = jax.lax.while_loop(cond, body, (p, i0, r0, r0, i0))
     return p
+
+
+# Implicit-function adjoint for the converged RB-SOR solve (VERDICT r4
+# #4, the rbsor twin of ops.mg._mg_implicit — see the derivation there):
+# A is symmetric, so rhs_bar = P _rbsor(P p_bar) with P the nullspace
+# (mean) projection; the warm start carries no gradient.
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _rbsor_implicit(g: Grid2D, nm: Numerics, p, rhs):
+    return _rbsor(g, nm, p, rhs)
+
+
+def _rbsor_impl_fwd(g, nm, p, rhs):
+    return _rbsor(g, nm, p, rhs), None
+
+
+def _rbsor_impl_bwd(g, nm, _res, g_out):
+    gbar = g_out[1:-1, 1:-1]
+    gbar = gbar - jnp.mean(gbar)
+    y = _rbsor(g, nm, jnp.zeros_like(g_out), gbar)[1:-1, 1:-1]
+    return jnp.zeros_like(g_out), y - jnp.mean(y)
+
+
+_rbsor_implicit.defvjp(_rbsor_impl_fwd, _rbsor_impl_bwd)
