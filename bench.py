@@ -22,6 +22,17 @@ import numpy as np
 # BASELINE.md "measured" table. Units: cell-updates/second.
 BASELINE_CUPS = 0.0  # filled by scripts/measure_baseline.py; 0 -> remeasure
 
+# Roofline constants of the 2-D mono kernel at 512^2 (VERDICT r4 #8 —
+# efficiency, not just CUPS, must be driver-visible). Measured by
+# scripts/roofline2d.py and published in BASELINE.md "2-D mono-kernel
+# roofline": traced VPU issue slots and FMA=2-model flops per cell-step,
+# against the v5p-class peaks (8x128 lanes x 4 ALUs x 0.94 GHz issue;
+# x2 for the FMA flop model).
+MONO_OPS_PER_CELL_STEP = 401.0     # jaxpr arithmetic ops (issue slots)
+MONO_FLOPS_PER_CELL_STEP = 963.0   # XLA cost-analysis flops (FMA=2)
+VPU_PEAK_OPS = 3.85e12             # issue slots/s
+VPU_PEAK_FLOPS = 7.70e12           # flop/s (FMA model)
+
 
 def measure(simulate, cfg, state, n_steps: int) -> float:
     """Wall-clock seconds for n_steps, forcing a device sync with a tiny
@@ -93,11 +104,14 @@ def bench_2048_beyond_vmem(tv, n_steps=500):
 
 
 def bench_3d_256_streamed(tv, n_steps=100):
-    """Beyond-the-resident-Jacobi-envelope 3-D flagship (VERDICT r3 #4):
-    256^3 dam break on the slab kernels (B=4 chunks — the B=8 predict
-    kernel spills past VMEM at this plane size) with the HBM-streamed
-    out-of-place Jacobi hosted between them. Round-4 measurement:
-    1.39e9 CUPS vs the 0.30e9 whole-step XLA fallback it replaces."""
+    """256^3 3-D flagship beyond round 4's resident envelope (VERDICT r3
+    #4). Key name kept for cross-round continuity, but the engine under
+    it upgraded in round 5: the single-volume resident Jacobi kernel
+    (jacobi3d._kernel streams p's input from HBM instead of paying
+    Mosaic's second whole-volume VMEM window) brought 256^3 back inside
+    the resident envelope (~264^3 now), replacing the HBM-streamed
+    per-iteration Jacobi this key measured in round 4 (1.39e9 CUPS;
+    which itself replaced the 0.30e9 whole-step XLA fallback)."""
     from tpuvof.grid import Grid3D
     from tpuvof.solver3d import init_state_3d, simulate_3d
 
@@ -249,6 +263,21 @@ def main():
     backend = min(results, key=results.get)
     best = results[backend]
     cups = n * n * n_steps / best
+
+    # %-of-peak keys (VERDICT r4 #8): sustained VPU issue / FMA-model
+    # flop rates of the mono kernel against the hardware peaks, derived
+    # from the same timing as the headline. Only meaningful for the
+    # single-kernel engine, so they key off pallas_mono's time.
+    efficiency = {}
+    if "pallas_mono" in results:
+        mono_cups = n * n * n_steps / results["pallas_mono"]
+        efficiency = {
+            "vpu_issue_pct_512": round(
+                100 * mono_cups * MONO_OPS_PER_CELL_STEP / VPU_PEAK_OPS, 1),
+            "mfu_fma_pct_512": round(
+                100 * mono_cups * MONO_FLOPS_PER_CELL_STEP / VPU_PEAK_FLOPS,
+                1),
+        }
 
     # flagship coverage beyond the 512^2 headline (VERDICT r2 #5): the
     # 3-D 200^3 slab-pallas and distributed-1x1 numbers become

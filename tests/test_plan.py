@@ -53,6 +53,39 @@ def test_plan_3d_agrees_with_decomp3d_admission():
     assert not bad["ok"] and "ny/py" in bad["why"]
 
 
+def test_admission_table_512_cube():
+    """BASELINE.md's beyond-envelope scale-out claim, pinned (VERDICT r4
+    #7): 512^3 admits on a 2x8 pencil mesh (290-plane x (96x640) extended
+    block, B=8 chunked Jacobi inside the VMEM cap), is REJECTED on 2x4
+    (the (160x640) planes put the resident volume past the cap), and
+    admits on 4x4. scripts/tpu_pencil_512_shard.py compiles + executes
+    the (2,8) per-shard program at this exact geometry on real hardware
+    — the round-5 run that exposed the 2x-window VMEM accounting bug the
+    current jacobi3d._vmem_need model replaces."""
+    g = Grid3D(512, 512, 512)
+
+    a28 = pallas_admission_3d(g, 2, 8)
+    assert a28["ok"] and a28["pencil"]
+    assert (a28["W"], a28["Wy"], a28["nloc"], a28["nyE"], a28["B"]) == \
+        (16, 14, 288, 92, 8)
+    assert a28["plane"] == (96, 640)
+
+    a24 = pallas_admission_3d(g, 2, 4)
+    assert not a24["ok"] and a24["B"] is None
+    assert "VMEM" in a24["why"]
+
+    a44 = pallas_admission_3d(g, 4, 4)
+    assert a44["ok"] and a44["B"] == 8
+
+    # the planner's verdicts agree: 16-chip shapes rank pencil engines,
+    # the 8-chip (2,4) shape is marked as the XLA fallback
+    verdicts16 = {(p.px, p.py): p.engine for p in plan_mesh_3d(g, 16)}
+    assert verdicts16[(2, 8)] == "pallas-pencil"
+    assert verdicts16[(4, 4)] == "pallas-pencil"
+    verdicts8 = {(p.px, p.py): p.engine for p in plan_mesh_3d(g, 8)}
+    assert verdicts8[(2, 4)] == "xla"
+
+
 def test_plan_2d_within_envelope_uses_full_block():
     cfg = tv.SimConfig(grid=tv.Grid2D(512, 512))
     plans = plan_mesh_2d(cfg, 4)

@@ -58,20 +58,24 @@ def _padded_dims(g: Grid3D):
 
 def _vmem_need(g: Grid3D, b: int, nloc: int | None = None,
                plane: tuple[int, int] | None = None) -> int:
-    """p (aliased in/out) resident + ~36 chunk-block temporaries (measured:
-    Mosaic's stack at 200^3/B=4 was 125.3M with rhs also resident, i.e.
-    ~32 blocks beyond the volumes; rhs is now streamed from HBM).
-    plane: padded (n1, n2) override for the pencil engine, whose local
-    planes are smaller than the global ones."""
+    """Measured VMEM allocation structure of the resident kernel (XLA's
+    own OOM dump at the 512^3/2x8 shard shape, round 5): ONE resident
+    volume (the p output window — the input streams from HBM through the
+    rhs_buf staging during the ghost-zero pass; before round 5 p was a
+    VMEM in-spec and Mosaic allocated input AND output windows, 2x vol,
+    which sank exactly the beyond-envelope shapes this model admitted) +
+    the declared scratch (rhs_buf (2,B,plane) + wplane (1,plane)) + a
+    register-spill/code margin (observed 1.5-2.7 MB; 6 MB keeps the
+    rejected shapes rejected with headroom). plane: padded (n1, n2)
+    override for the pencil engine, whose local planes are smaller than
+    the global ones."""
     n0, n1, n2 = _padded_dims(g)
     if nloc is not None:
         n0 = nloc + 2
     if plane is not None:
         n1, n2 = plane
     vol = n0 * n1 * n2 * 4
-    # +2 blocks vs the round-2 measurement: the rhs prefetch added a
-    # second B-plane buffer slot
-    return vol + 38 * (b + 2) * n1 * n2 * 4
+    return vol + (2 * b + 1) * n1 * n2 * 4 + 6 * 2**20
 
 
 def _pick_chunk(nx: int, g: Grid3D | None = None,
@@ -136,16 +140,28 @@ def _kernel(p_ref, rhs_ref, gib, out_ref, wplane, rhs_buf, sem,
         gi = iota0 + (i0 + gi_base)
         return ghost_jk | (gi <= 0) | (gi >= g.nx + 1)
 
+    # p arrives from HBM chunk-wise through the rhs staging buffer (free
+    # until the iteration loop starts): a VMEM in-spec would make Mosaic
+    # allocate a second whole-volume window next to the output's —
+    # input_output_aliases aliases the HBM buffers, NOT the VMEM windows
+    # — which is exactly 2x vol and sank the beyond-envelope shapes
+    # (512^3/2x8 shard: 138.5M of 128M, XLA OOM dump, round 5). Every
+    # out_ref plane is written here before any iteration reads it.
+    def p_dma(slot, c):
+        return pltpu.make_async_copy(
+            p_ref.at[pl.ds(1 + c * B, B)], rhs_buf.at[slot], sem.at[slot])
+
     def zero_body(c, _):
+        slot = lax.rem(c, 2)
+        pl.when(c + 1 < nc)(
+            lambda: p_dma(lax.rem(c + 1, 2), c + 1).start())
+        p_dma(slot, c).wait()
         i0 = 1 + c * B
-        # read the INPUT ref, not the aliased output: the kernel must have a
-        # real use of p_ref or Mosaic elides the input's HBM->VMEM copy and
-        # the aliased buffer starts uninitialized (observed at 128^3: the
-        # all-zero-input probe returned garbage while interpret mode and
-        # 64^3 passed)
-        blk = p_ref[pl.ds(i0, B)]
-        out_ref[pl.ds(i0, B)] = jnp.where(ghost_for(i0), 0.0, blk)
+        out_ref[pl.ds(i0, B)] = jnp.where(ghost_for(i0), 0.0,
+                                          rhs_buf[slot])
         return 0
+
+    p_dma(0, 0).start()
 
     lax.fori_loop(0, nc, zero_body, 0)
     zp = jnp.zeros((1, n1p, n2p), dtype)
@@ -441,7 +457,11 @@ def pallas_jacobi_3d(g: Grid3D, n_iter: int, p, rhs, interpret: bool = False,
         partial(_kernel, g=g, n_iter=n_iter, B=B, nloc=nloc, njl=njl),
         out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            # p streams from HBM through the rhs_buf staging in the
+            # ghost-zero pass — a VMEM in-spec would cost a SECOND
+            # whole-volume window (input_output_aliases aliases HBM
+            # buffers, not VMEM windows; see _kernel / _vmem_need)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
         ],
@@ -449,9 +469,8 @@ def pallas_jacobi_3d(g: Grid3D, n_iter: int, p, rhs, interpret: bool = False,
         scratch_shapes=[pltpu.VMEM((1, n1p, n2p), p.dtype),
                         pltpu.VMEM((2, B, n1p, n2p), p.dtype),
                         pltpu.SemaphoreType.DMA((2,))],
-        # alias p into the output: the ghost-zero pass rewrites the buffer
-        # chunk-wise before the iterations, so in-place is safe, and it
-        # saves one full volume of VMEM
+        # alias p's HBM buffer into the output's: every plane is consumed
+        # by the ghost-zero DMAs before the output window writes back
         input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=124 * 2**20),
         interpret=interpret,

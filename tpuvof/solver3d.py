@@ -316,7 +316,8 @@ def _step_3d_pallas_padded(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
         if _j3d.jacobi3d_fits_vmem(g):
             p = pallas_jacobi_3d(g, n_jacobi, p, rhs, interpret=interpret)
         else:
-            # beyond the resident-Jacobi VMEM envelope (~232^3) the
+            # beyond the resident-Jacobi VMEM envelope (~264^3 since the
+            # round-5 single-volume kernel; 256^3 runs resident now) the
             # volume streams through VMEM out-of-place instead of the
             # round-3 whole-step XLA fallback (VERDICT r3 #4; measured
             # A/B: scripts/tpu_streamed256.py). Module-attr call so the
@@ -360,8 +361,9 @@ def _step_3d_pallas_padded(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
 
 def pallas3d_supported(g: Grid3D, csf: bool = False) -> bool:
     """Slab-kernel admission is the only gate: grids whose resident
-    Jacobi volume no longer fits VMEM (~232^3) route the solve through
-    `streamed_jacobi_3d` instead of falling back to XLA (VERDICT r3 #4).
+    Jacobi volume no longer fits VMEM (~264^3 since the round-5
+    single-volume kernel) route the solve through `streamed_jacobi_3d`
+    instead of falling back to XLA (VERDICT r3 #4).
     streamed_jacobi_3d needs even nx, which step3d_slab_supported's
     chunk admission already implies."""
     from .pallas_kernels.step3d import step3d_slab_supported
@@ -379,7 +381,7 @@ def step_3d(g: Grid3D, fl: Fluid, dt: float, n_jacobi: int,
     step runs phase 1). backend='pallas' runs the slab-tiled kernel
     pipeline (any grid with even nx whose per-chunk working set fits
     VMEM — plane sizes to ~1024^2); grids beyond the RESIDENT-Jacobi
-    envelope (~232^3) host the HBM-streamed Jacobi between the slab
+    envelope (~264^3) host the HBM-streamed Jacobi between the slab
     kernels instead of falling back (VERDICT r3 #4); grids the slab
     kernels cannot admit fall back to the XLA path with a warning.
     pressure_solver='rbsor'/'mg' swaps the reference-parity
