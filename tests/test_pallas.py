@@ -69,6 +69,30 @@ def test_fullstep_mono_kernel_matches_lean_step(setup):
                 np.asarray(x), np.asarray(y), atol=tol[name], err_msg=name)
 
 
+def test_fullstep_dma_bit_identical_to_window_mono(setup):
+    """pallas_fullstep_dma (the round-5 DMA-overlap experiment, kept as
+    a measured-negative record — BASELINE.md) must stay BIT-identical to
+    the window-I/O mono kernel: identical arithmetic, only the state
+    movement differs, and the per-field BC split it exercises
+    (_bc_u/_bc_v/_bc_scal) is shared with the production kernels."""
+    from tpuvof.ops import apply_bc
+    from tpuvof.pallas_kernels.step_kernels import (
+        pallas_fullstep,
+        pallas_fullstep_dma,
+    )
+
+    cfg, state = setup
+    u, v, F, p = apply_bc(state.u, state.v, state.F, state.p)
+    a = b = tuple(x.astype(jnp.float64) for x in (F, u, v, p))
+    for step_i in range(4):
+        even = step_i % 2 == 1
+        a = pallas_fullstep(cfg, *a, even, interpret=True)
+        b = pallas_fullstep_dma(cfg, *b, even, interpret=True)
+    for name, x, y in zip("Fuvp", a, b):
+        assert float(np.max(np.abs(np.asarray(x) - np.asarray(y)))) \
+            == 0.0, name
+
+
 def test_tiled_step_matches_mono_every_tile_size():
     """The tiled engine (solver._step_pallas_tiled) must reproduce the
     mono kernel to FMA-contraction noise for every tile layout, both
@@ -128,7 +152,10 @@ def test_tiled_backend_routing():
     # beyond envelope, no power-of-two divisor: strips still applies
     # (only nx % Tx matters; lanes pad to 128)
     assert eff(1160) == "pallas_strips"
-    assert eff(2048, pressure_solver="rbsor") == "xla"
+    # upgraded solvers beyond the envelope: the tiled HYBRID streams the
+    # Pallas phases around the hosted solve (round 5) instead of
+    # dropping the whole step to XLA
+    assert eff(2048, pressure_solver="rbsor") == "pallas_hybrid_tiled"
     tiled = tv.SimConfig(grid=tv.Grid2D(512, 512),
                          num=tv.Numerics(backend="pallas_tiled"))
     assert effective_backend(tiled) == "pallas_tiled"  # explicit request

@@ -551,12 +551,10 @@ def pallas_fct_sweep_win(cfg: SimConfig, F, vel, axis: int, oi, oj,
 # sweeps + wall BCs in ONE kernel. HBM traffic per step collapses to the
 # state pytree itself (4 reads + 4 writes).
 # ----------------------------------------------------------------------
-def _bc_values(g: Grid2D, u, v, F, p, oi=0, oj=0):
-    """apply_bc as a pure value function in roll+mask form (exact serial
-    corner ordering: j-boundaries first, then i-boundaries reading the
-    updated values). Wall positions are GLOBAL indices (offset by oi/oj
-    for the windowed per-shard kernel)."""
-    shape = u.shape
+def _bc_mirrors(g: Grid2D, shape, oi=0, oj=0):
+    """The two ghost-mirror closures of apply_bc's roll+mask form. Wall
+    positions are GLOBAL indices (offset by oi/oj for the windowed
+    per-shard kernel)."""
     row = _iota(shape, 0) + oi
     col = _iota(shape, 1) + oj
     i_hi = g.nx + 1
@@ -570,16 +568,34 @@ def _bc_values(g: Grid2D, u, v, F, p, oi=0, oj=0):
         a = jnp.where(row == 0, _sh(a, 1, 0), a)
         return jnp.where(row == i_hi, _sh(a, -1, 0), a)
 
-    u = mirror_j(u)
-    v = jnp.where((col == 1) | (col == j_hi), 0.0, v)
-    F = mirror_j(F)
-    p = mirror_j(p)
+    return row, col, i_hi, j_hi, mirror_j, mirror_i
 
-    u = jnp.where((row == 1) | (row == i_hi), 0.0, u)
-    v = mirror_i(v)
-    F = mirror_i(F)
-    p = mirror_i(p)
-    return u, v, F, p
+
+def _bc_u(g: Grid2D, u, oi=0, oj=0):
+    row, _, i_hi, _, mirror_j, _ = _bc_mirrors(g, u.shape, oi, oj)
+    u = mirror_j(u)
+    return jnp.where((row == 1) | (row == i_hi), 0.0, u)
+
+
+def _bc_v(g: Grid2D, v, oi=0, oj=0):
+    _, col, _, j_hi, _, mirror_i = _bc_mirrors(g, v.shape, oi, oj)
+    v = jnp.where((col == 1) | (col == j_hi), 0.0, v)
+    return mirror_i(v)
+
+
+def _bc_scal(g: Grid2D, a, oi=0, oj=0):
+    _, _, _, _, mirror_j, mirror_i = _bc_mirrors(g, a.shape, oi, oj)
+    return mirror_i(mirror_j(a))
+
+
+def _bc_values(g: Grid2D, u, v, F, p, oi=0, oj=0):
+    """apply_bc as a pure value function (exact serial corner ordering:
+    j-boundaries first, then i-boundaries reading the updated values).
+    Each field's BC reads only that field, so the per-field pieces above
+    can also be applied staggered (the DMA-overlapped mono kernel stores
+    each field as soon as its BC lands) with identical results."""
+    return (_bc_u(g, u, oi, oj), _bc_v(g, v, oi, oj),
+            _bc_scal(g, F, oi, oj), _bc_scal(g, p, oi, oj))
 
 
 def _fullstep_kernel(F_ref, u_ref, v_ref, p_ref,
@@ -655,6 +671,132 @@ def pallas_fullstep(cfg: SimConfig, F, u, v, p, even_step: bool,
         out_shape=(shape,) * 4,
         in_specs=_vmem_specs(4),
         out_specs=tuple(_vmem_specs(4)),
+        compiler_params=_compiler_params(F, 40),
+        interpret=interpret,
+    )(F, u, v, p)
+
+
+def _fullstep_dma_kernel(F_hbm, u_hbm, v_hbm, p_hbm,
+                         F_o, u_o, v_o, p_o,
+                         Fb, ub, vb, pb, isems, osems,
+                         *, cfg: SimConfig, even_step: bool):
+    """_fullstep_kernel with explicit DMA I/O instead of VMEM windows.
+
+    MEASURED NEGATIVE RESULT — kept as the record (BASELINE.md, round
+    5): 125.8 vs 126.5/123.5 us/step at 512^2 (0.995x, inside session
+    drift; scripts/tpu_mono_dma_ab.py), trajectory bit-identical over
+    500 compiled steps. The motivating theory: the remainder A/B
+    (scripts/tpu_2d_remainder_ab.py) measured a copy-only kernel with
+    the same window I/O at ~51 of ~126 us/step, so starting the loads
+    together (p's completes under predict) and storing each output the
+    moment its field+BC is final (p under correct+sweeps, u/v under the
+    sweeps, F last) should reclaim most of it. It reclaims nothing —
+    consistent with the round-3 multi-step A/B (4 steps/launch, 1/4 the
+    window I/O, flat): in a scan of compute-heavy kernels Mosaic already
+    overlaps the window traffic with adjacent launches' compute, and the
+    copy-only floor only measures what an EMPTY kernel cannot hide. The
+    window form stays the production mono path; the BC-per-field split
+    this variant exercises (_bc_u/_bc_v/_bc_scal) is shared with it.
+    """
+    g, fl, nm = cfg.grid, cfg.fluid, cfg.num
+    dt = nm.dt
+
+    cF = pltpu.make_async_copy(F_hbm, Fb, isems.at[0])
+    cu = pltpu.make_async_copy(u_hbm, ub, isems.at[1])
+    cv = pltpu.make_async_copy(v_hbm, vb, isems.at[2])
+    cp = pltpu.make_async_copy(p_hbm, pb, isems.at[3])
+    for c in (cF, cu, cv, cp):
+        c.start()
+    cF.wait()
+    cu.wait()
+    cv.wait()
+    F = Fb[:]
+    u = ub[:]
+    v = vb[:]
+    shape = F.shape
+
+    # --- predict (includes materials + normals + curvature) ---
+    us, vs, rho = _predict_body(cfg, u, v, F)
+
+    # --- projection: rhs + N Jacobi iterations in the p staging buffer ---
+    rhs = (
+        rho[1:-1, 1:-1]
+        / dt
+        * (
+            (us[2:, 1:-1] - us[1:-1, 1:-1]) * g.dxi
+            + (vs[1:-1, 2:] - vs[1:-1, 1:-1]) * g.dyi
+        )
+    )
+    ae, aw, an, a_s, ap_inv = _inline_poisson_coeffs(g, F.dtype)
+    cp.wait()
+
+    def body(_, carry):
+        p_int = (
+            rhs
+            - ae * pb[2:, 1:-1]
+            - aw * pb[:-2, 1:-1]
+            - an * pb[1:-1, 2:]
+            - a_s * pb[1:-1, :-2]
+        ) * ap_inv
+        pb[1:-1, 1:-1] = p_int
+        return carry
+
+    lax.fori_loop(0, nm.n_jacobi, body, 0, unroll=True)
+    p = pb[:]
+    # p is final up to its ghost mirrors, which the correction never
+    # reads (its regions exclude every ghost-adjacent read): BC + store
+    # now, hidden under correct + sweeps
+    pb[:] = _bc_scal(g, p)
+    sp = pltpu.make_async_copy(pb, p_o, osems.at[3])
+    sp.start()
+
+    # --- velocity correction (full-shape; wall faces keep entry values) ---
+    r_u = (rho + _sh(rho, -1, 0)) * 0.5
+    u_corr = us - dt / r_u * (p - _sh(p, -1, 0)) * g.dxi
+    u = jnp.where(_region(shape, 2, g.nx + 1, 1, g.ny + 1), u_corr, u)
+    r_v = (rho + _sh(rho, 0, -1)) * 0.5
+    v_corr = vs - dt / r_v * (p - _sh(p, 0, -1)) * g.dyi
+    v = jnp.where(_region(shape, 1, g.nx + 1, 2, g.ny + 1), v_corr, v)
+    # the sweeps read the PRE-BC u/v values (kernel order unchanged);
+    # the BC'd copies go to HBM under the sweep compute
+    ub[:] = _bc_u(g, u)
+    vb[:] = _bc_v(g, v)
+    su = pltpu.make_async_copy(ub, u_o, osems.at[1])
+    sv = pltpu.make_async_copy(vb, v_o, osems.at[2])
+    su.start()
+    sv.start()
+
+    # --- Rudman double sweep (parity-ordered) + clamp ---
+    if even_step:
+        F = _sweep_body(g.dy, g.dx, dt, nm.fct, 1, F, v)
+        F = _sweep_body(g.dx, g.dy, dt, nm.fct, 0, F, u)
+    else:
+        F = _sweep_body(g.dx, g.dy, dt, nm.fct, 0, F, u)
+        F = _sweep_body(g.dy, g.dx, dt, nm.fct, 1, F, v)
+    F = clamp01(F)
+
+    Fb[:] = _bc_scal(g, F)
+    sF = pltpu.make_async_copy(Fb, F_o, osems.at[0])
+    sF.start()
+    sF.wait()
+    su.wait()
+    sv.wait()
+    sp.wait()
+
+
+def pallas_fullstep_dma(cfg: SimConfig, F, u, v, p, even_step: bool,
+                        interpret: bool = False):
+    """One lean solver step, single kernel, DMA-overlapped state I/O
+    (see _fullstep_dma_kernel). Bit-identical to pallas_fullstep."""
+    shape = jax.ShapeDtypeStruct(F.shape, F.dtype)
+    hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    return pl.pallas_call(
+        partial(_fullstep_dma_kernel, cfg=cfg, even_step=even_step),
+        out_shape=(shape,) * 4,
+        in_specs=[hbm] * 4,
+        out_specs=(hbm,) * 4,
+        scratch_shapes=[pltpu.VMEM(F.shape, F.dtype) for _ in range(4)]
+        + [pltpu.SemaphoreType.DMA((4,)), pltpu.SemaphoreType.DMA((4,))],
         compiler_params=_compiler_params(F, 40),
         interpret=interpret,
     )(F, u, v, p)
