@@ -327,6 +327,7 @@ def main():
                     k: round(v, 4) for k, v in sorted(results.items())
                 },
                 "seconds_per_1000_steps": round(best, 4),
+                **efficiency,
                 **extras,
             }
         )
